@@ -1,0 +1,37 @@
+"""Driver benchmark: prints ONE JSON line.
+
+Metric: 256² masked-image inpainting throughput per chip on the flagship
+(DeepFill-v2-style gated + contextual attention) generator —
+BASELINE.json:2's first tracked metric. ``vs_baseline`` is relative to the
+north-star target of 5,000 images/sec on a v4-8, i.e. 625 images/sec/chip
+(BASELINE.json:5; the reference itself has no published numbers —
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+BASELINE_PER_CHIP = 5000.0 / 8.0
+
+
+def main() -> int:
+    from gan_inpainting_tpu.bench import bench_infer
+    from gan_inpainting_tpu.configs.base import apply_overrides, get_config
+
+    cfg = get_config("serve_v4_8")
+    cfg = apply_overrides(cfg, ["train.mesh.data=-1", "train.mesh.model=1"])
+    result = bench_infer(cfg, batch=64, iters=20, warmup=3)
+    out = {
+        "metric": result["metric"],
+        "value": round(result["value"], 2),
+        "unit": result["unit"],
+        "vs_baseline": round(result["value"] / BASELINE_PER_CHIP, 4),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""CLI (reference R17): ``python -m gan_inpainting_tpu <cmd> [--config NAME]
+[section.key=value ...]``.
+
+Subcommands: train | eval | infer | bench | configs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from gan_inpainting_tpu.configs.base import (
+    apply_overrides,
+    get_config,
+    list_configs,
+)
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--config", default="celeba128_center",
+                   choices=list_configs())
+    p.add_argument("overrides", nargs="*",
+                   help="config overrides, e.g. train.steps=100")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="gan_inpainting_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    _add_common(sub.add_parser("train", help="run GAN training"))
+    _add_common(sub.add_parser("eval", help="PSNR/SSIM on held-out data"))
+
+    p_inf = sub.add_parser("infer", help="inpaint one image file")
+    _add_common(p_inf)
+    p_inf.add_argument("--image", required=True)
+    p_inf.add_argument("--mask", required=True,
+                       help="mask image file; nonzero pixels = hole")
+    p_inf.add_argument("--output", required=True)
+
+    p_bench = sub.add_parser("bench", help="throughput benchmarks")
+    _add_common(p_bench)
+    p_bench.add_argument("--mode", default="infer",
+                         choices=["infer", "train"])
+
+    sub.add_parser("configs", help="list named configs")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "configs":
+        print("\n".join(list_configs()))
+        return 0
+
+    cfg = apply_overrides(get_config(args.config), args.overrides)
+
+    if args.cmd == "train":
+        from gan_inpainting_tpu.train.loop import train
+
+        train(cfg)
+        return 0
+
+    if args.cmd == "eval":
+        from gan_inpainting_tpu.infer.inpaint import Inpainter
+        from gan_inpainting_tpu.train.evaluate import evaluate
+
+        inp = Inpainter.from_checkpoint(cfg)
+        print(json.dumps(evaluate(cfg, inp.g_params)))
+        return 0
+
+    if args.cmd == "infer":
+        import numpy as np
+        from PIL import Image
+
+        from gan_inpainting_tpu.infer.inpaint import Inpainter
+
+        image = np.asarray(Image.open(args.image).convert("RGB"))
+        mask = (np.asarray(Image.open(args.mask).convert("L")) > 0)
+        out = Inpainter.from_checkpoint(cfg)(image, mask.astype(np.float32))
+        Image.fromarray(out).save(args.output)
+        print(f"wrote {args.output}")
+        return 0
+
+    if args.cmd == "bench":
+        from gan_inpainting_tpu.bench import run_bench
+
+        print(json.dumps(run_bench(cfg, mode=args.mode)))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,264 @@
+"""Config system: frozen dataclasses + the five named configs.
+
+The five registry entries mirror BASELINE.json:7-11 verbatim:
+
+1. ``celeba128_center``      — 128² center-mask on a small CelebA subset; the
+   repo-default train+eval loop, CPU-runnable (plain dilated encoder-decoder
+   generator, PatchGAN D, BCE adversarial + L1).
+2. ``celebahq256_freeform``  — 256² free-form irregular stroke masks on
+   CelebA-HQ (random mask generator fused into the input pipeline).
+3. ``places512_deepfill``    — gated-conv + contextual-attention generator
+   (DeepFill-v2 style) on Places2 at 512².
+4. ``places512_sn_vgg``      — SN-PatchGAN discriminator with perceptual +
+   style (VGG) losses, mixed-mask curriculum at 512².
+5. ``serve_v4_8``            — batched inpainting service: sharded multi-chip
+   inference on a v4-8 with bucketed mask/batch shapes.
+
+CLI overrides are plain ``section.key=value`` strings (`apply_overrides`).
+Every checkpoint embeds its config (io/checkpoint.py) for reproducibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+from gan_inpainting_tpu.parallel.mesh import MeshConfig
+
+
+# ---------------------------------------------------------------------------
+# Sections
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskConfig:
+    """Mask synthesis. Convention: mask==1 marks the hole to inpaint."""
+
+    kind: str = "center"          # center | freeform | mixed
+    # center masks
+    center_frac: float = 0.5      # hole side as a fraction of image side
+    center_jitter: bool = False   # random offset instead of exact center
+    # free-form stroke masks (DeepFill-v2 style brush walk)
+    max_strokes: int = 8          # vertices V: strokes drawn per mask
+    max_segments: int = 8         # K: segments per stroke
+    min_width: float = 6.0        # brush width range, pixels
+    max_width: float = 24.0
+    max_step: float = 40.0        # max segment length, pixels
+    # mixed curriculum: probability of free-form vs center per sample
+    freeform_prob: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"    # synthetic | folder
+    root: str = ""                # image dir for dataset=folder
+    image_size: int = 128
+    batch_size: int = 16          # global batch (split over the data axis)
+    eval_batch_size: int = 16
+    num_eval_batches: int = 4
+    shuffle_buffer: int = 256
+    synthetic_size: int = 512     # virtual dataset length for synthetic
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # generator
+    generator: str = "dilated"    # dilated | coarse_to_fine
+    conv_kind: str = "plain"      # plain | gated | partial
+    base_features: int = 48       # width multiplier (cnum in DeepFill terms)
+    use_attention: bool = False   # contextual attention branch in stage 2
+    attention_rate: int = 2       # patch stride for attention (DeepFill rate)
+    # discriminator
+    disc_features: int = 64
+    disc_layers: int = 4
+    spectral_norm: bool = False   # SN-PatchGAN
+    # numerics
+    dtype_policy: str = "bf16"    # bf16 | f32
+    # kernel dispatch: pallas | xla | auto (pallas on TPU, xla elsewhere)
+    kernel_backend: str = "auto"
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    adversarial: str = "hinge"    # hinge | bce | lsgan
+    l1_weight: float = 1.0
+    l1_hole_weight: float = 6.0   # extra weight inside the hole
+    l1_valid_weight: float = 1.0
+    spatial_discount: float = 0.0  # gamma for spatially-discounted L1 (0=off)
+    perceptual_weight: float = 0.0
+    style_weight: float = 0.0
+    vgg_weights_path: str = ""    # converted VGG16 weights (optional; see losses/vgg.py)
+    gan_weight: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    steps: int = 10_000
+    g_lr: float = 1e-4
+    d_lr: float = 4e-4            # TTUR-style by default
+    beta1: float = 0.5
+    beta2: float = 0.9
+    seed: int = 0
+    log_every: int = 50
+    eval_every: int = 1000
+    checkpoint_every: int = 1000
+    max_checkpoints: int = 3
+    workdir: str = "/tmp/gan_inpainting_tpu"
+    mesh: MeshConfig = MeshConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    metrics: tuple[str, ...] = ("psnr", "ssim")
+
+
+@dataclasses.dataclass(frozen=True)
+class InferConfig:
+    batch_buckets: tuple[int, ...] = (1, 8, 64)    # static batch buckets
+    size_buckets: tuple[int, ...] = (128, 256, 512)  # static HxW buckets
+    donate_input: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    name: str = "celeba128_center"
+    data: DataConfig = DataConfig()
+    mask: MaskConfig = MaskConfig()
+    model: ModelConfig = ModelConfig()
+    loss: LossConfig = LossConfig()
+    train: TrainConfig = TrainConfig()
+    eval: EvalConfig = EvalConfig()
+    infer: InferConfig = InferConfig()
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+# ---------------------------------------------------------------------------
+# Registry — the five named configs (BASELINE.json:7-11)
+# ---------------------------------------------------------------------------
+
+
+def _celeba128_center() -> Config:
+    return Config(
+        name="celeba128_center",
+        data=DataConfig(image_size=128, batch_size=16),
+        mask=MaskConfig(kind="center", center_frac=0.5),
+        model=ModelConfig(generator="dilated", conv_kind="plain",
+                          base_features=48, use_attention=False),
+        loss=LossConfig(adversarial="bce", l1_weight=1.0),
+    )
+
+
+def _celebahq256_freeform() -> Config:
+    return Config(
+        name="celebahq256_freeform",
+        data=DataConfig(image_size=256, batch_size=16),
+        mask=MaskConfig(kind="freeform", max_strokes=8, max_segments=8,
+                        min_width=12.0, max_width=40.0, max_step=80.0),
+        model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
+                          base_features=48, use_attention=False),
+        loss=LossConfig(adversarial="hinge", l1_weight=1.0),
+    )
+
+
+def _places512_deepfill() -> Config:
+    return Config(
+        name="places512_deepfill",
+        data=DataConfig(image_size=512, batch_size=8),
+        mask=MaskConfig(kind="freeform", max_strokes=12, max_segments=8,
+                        min_width=16.0, max_width=64.0, max_step=120.0),
+        model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
+                          base_features=48, use_attention=True,
+                          attention_rate=2),
+        loss=LossConfig(adversarial="hinge", l1_weight=1.0),
+    )
+
+
+def _places512_sn_vgg() -> Config:
+    return Config(
+        name="places512_sn_vgg",
+        data=DataConfig(image_size=512, batch_size=8),
+        mask=MaskConfig(kind="mixed", freeform_prob=0.5,
+                        max_strokes=12, max_segments=8,
+                        min_width=16.0, max_width=64.0, max_step=120.0),
+        model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
+                          base_features=48, use_attention=True,
+                          spectral_norm=True),
+        loss=LossConfig(adversarial="hinge", l1_weight=1.0,
+                        perceptual_weight=0.05, style_weight=120.0),
+    )
+
+
+def _serve_v4_8() -> Config:
+    return Config(
+        name="serve_v4_8",
+        data=DataConfig(image_size=256, batch_size=64),
+        mask=MaskConfig(kind="freeform"),
+        model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
+                          base_features=48, use_attention=True),
+        train=TrainConfig(mesh=MeshConfig(data=-1, model=1)),
+        infer=InferConfig(batch_buckets=(8, 64, 256),
+                          size_buckets=(256, 512)),
+    )
+
+
+_REGISTRY = {
+    "celeba128_center": _celeba128_center,
+    "celebahq256_freeform": _celebahq256_freeform,
+    "places512_deepfill": _places512_deepfill,
+    "places512_sn_vgg": _places512_sn_vgg,
+    "serve_v4_8": _serve_v4_8,
+}
+
+
+def list_configs() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def get_config(name: str) -> Config:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown config {name!r}; have {list_configs()}")
+    return _REGISTRY[name]()
+
+
+# ---------------------------------------------------------------------------
+# CLI overrides: "section.key=value"
+# ---------------------------------------------------------------------------
+
+
+def _parse_value(existing: Any, raw: str) -> Any:
+    if isinstance(existing, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(existing, int):
+        return int(raw)
+    if isinstance(existing, float):
+        return float(raw)
+    if isinstance(existing, tuple):
+        elems = [s for s in raw.split(",") if s]
+        elem_type = type(existing[0]) if existing else str
+        return tuple(elem_type(e) for e in elems)
+    return raw
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not key=value")
+        path, raw = item.split("=", 1)
+        parts = path.split(".")
+        cfg = _replace_path(cfg, parts, raw)
+    return cfg
+
+
+def _replace_path(obj, parts: list[str], raw: str):
+    key = parts[0]
+    if not hasattr(obj, key):
+        raise KeyError(f"config has no field {key!r} on {type(obj).__name__}")
+    if len(parts) == 1:
+        value = _parse_value(getattr(obj, key), raw)
+        return dataclasses.replace(obj, **{key: value})
+    child = _replace_path(getattr(obj, key), parts[1:], raw)
+    return dataclasses.replace(obj, **{key: child})

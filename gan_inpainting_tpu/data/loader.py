@@ -1,0 +1,98 @@
+"""Host-side dataset iterators (reference R1's Dataset/DataLoader role).
+
+Two backends behind one factory:
+
+* ``synthetic`` — on-device procedural images (data/synthetic.py). The
+  iterator yields PRNG-derived uint8 batches; no host IO at all.
+* ``folder``   — a directory of image files, decoded with PIL on the host,
+  resized to the target square, yielded as uint8 NHWC numpy batches. This is
+  the CelebA/CelebA-HQ/Places2 path when a real dataset directory exists
+  (BASELINE.json:7-9). Single-process with a small prefetch thread — the
+  reference's multi-worker DataLoader is unnecessary because decode+resize of
+  uint8 is cheap relative to a TPU train step and everything downstream is
+  fused on device.
+
+Both yield plain uint8 arrays; mask synthesis + normalization happen on
+device (data/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+import jax
+
+from gan_inpainting_tpu.configs.base import DataConfig
+from gan_inpainting_tpu.data.synthetic import synthetic_batch_u8
+
+_IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+
+
+def _synthetic_iter(cfg: DataConfig, seed: int, batch_size: int
+                    ) -> Iterator[np.ndarray]:
+    key = jax.random.key(seed)
+    step = 0
+    while True:
+        k = jax.random.fold_in(key, step)
+        yield synthetic_batch_u8(k, batch_size, cfg.image_size)
+        step += 1
+
+
+def _load_image(path: pathlib.Path, size: int) -> np.ndarray:
+    from PIL import Image  # local import: PIL only needed for folder datasets
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        # center-crop to square then resize (standard CelebA treatment)
+        w, h = im.size
+        s = min(w, h)
+        left, top = (w - s) // 2, (h - s) // 2
+        im = im.crop((left, top, left + s, top + s))
+        im = im.resize((size, size), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+def _folder_iter(cfg: DataConfig, seed: int, batch_size: int,
+                 split: str) -> Iterator[np.ndarray]:
+    root = pathlib.Path(cfg.root)
+    files = sorted(p for p in root.rglob("*")
+                   if p.suffix.lower() in _IMG_EXTS)
+    if not files:
+        raise FileNotFoundError(f"no images under {root}")
+    # deterministic 95/5 train/eval split by index hash
+    files = [p for i, p in enumerate(files)
+             if (i % 20 == 0) == (split == "eval")]
+    rng = np.random.default_rng(seed)
+
+    def producer(out_q: queue.Queue):
+        while True:
+            idx = rng.permutation(len(files))
+            for start in range(0, len(idx) - batch_size + 1, batch_size):
+                batch = np.stack([
+                    _load_image(files[i], cfg.image_size)
+                    for i in idx[start:start + batch_size]])
+                out_q.put(batch)
+
+    q: queue.Queue = queue.Queue(maxsize=4)  # prefetch depth
+    threading.Thread(target=producer, args=(q,), daemon=True).start()
+    while True:
+        yield q.get()
+
+
+def make_dataset(cfg: DataConfig, seed: int = 0, split: str = "train",
+                 batch_size: int | None = None) -> Iterator[np.ndarray]:
+    """Infinite iterator of uint8 (B, H, W, 3) batches."""
+    if batch_size is None:
+        batch_size = cfg.batch_size if split == "train" else cfg.eval_batch_size
+    if cfg.dataset == "synthetic":
+        # eval uses a disjoint seed stream so train never sees eval images
+        eval_offset = 0 if split == "train" else 10_000_019
+        return _synthetic_iter(cfg, seed + eval_offset, batch_size)
+    if cfg.dataset == "folder":
+        return _folder_iter(cfg, seed, batch_size, split)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")

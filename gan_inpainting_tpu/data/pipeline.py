@@ -1,0 +1,58 @@
+"""Fused, jit-compiled preprocessing (reference R1 → BASELINE.json:5).
+
+The reference decodes/resizes/normalizes on CPU dataloader workers and draws
+masks there too (SURVEY.md §3.1). Here the host only supplies uint8 image
+batches (from the loader); everything else — normalize to [-1, 1], mask
+synthesis, masking — happens inside one jit on device, so the per-step host
+work is a single H2D copy of uint8 (4x smaller than f32 over PCIe/ICI).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gan_inpainting_tpu.configs.base import MaskConfig
+from gan_inpainting_tpu.data.masks import random_mask
+
+
+class Batch(NamedTuple):
+    """One training/eval batch. All float32 NHWC on device.
+
+    image:  (B, H, W, 3) in [-1, 1] — ground truth
+    mask:   (B, H, W, 1) in {0, 1} — 1 marks the hole
+    masked: (B, H, W, 3) — image with hole zeroed: image * (1 - mask)
+    """
+
+    image: jax.Array
+    mask: jax.Array
+    masked: jax.Array
+
+
+def normalize(images_u8):
+    """uint8 [0,255] → float32 [-1,1]."""
+    return images_u8.astype(jnp.float32) / 127.5 - 1.0
+
+
+def denormalize(images):
+    """float32 [-1,1] → uint8 [0,255]."""
+    x = jnp.clip((images + 1.0) * 127.5, 0.0, 255.0)
+    return jnp.round(x).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+def _make_batch_impl(images_u8, key, mask_cfg: MaskConfig) -> Batch:
+    b, h, w = images_u8.shape[:3]
+    image = normalize(images_u8)
+    keys = jax.random.split(key, b)
+    mask = jax.vmap(lambda k: random_mask(k, h, w, mask_cfg))(keys)
+    masked = image * (1.0 - mask)
+    return Batch(image=image, mask=mask, masked=masked)
+
+
+def make_train_batch(images_u8, key, mask_cfg: MaskConfig) -> Batch:
+    """Fuse normalize + mask synthesis + masking into one device program."""
+    return _make_batch_impl(jnp.asarray(images_u8), key, mask_cfg)

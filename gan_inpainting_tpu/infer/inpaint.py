@@ -1,0 +1,147 @@
+"""Inference: the reference's ``inpaint(image, mask)`` API (R15,
+BASELINE.json:5) plus the batched multi-chip serving path (BASELINE.json:11).
+
+Semantics match the reference stack (SURVEY.md §3.2): normalize, forward the
+generator, composite ``out*mask + image*(1-mask)`` so known pixels are
+preserved *exactly* (bit-exact for uint8 inputs — the composite happens on
+the raw input pixels), denormalize to uint8.
+
+XLA needs static shapes, so dynamic image/batch sizes are handled by
+bucketing: inputs are padded up to the nearest configured (batch, size)
+bucket and each bucket compiles once (SURVEY.md §7 "dynamic shapes at
+serving"; first call per bucket pays the compile). The batch dimension is
+sharded over the mesh's ``data`` axis for multi-chip serving.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_inpainting_tpu.configs.base import Config, InferConfig
+from gan_inpainting_tpu.data.pipeline import denormalize, normalize
+from gan_inpainting_tpu.models.generator import build_generator
+from gan_inpainting_tpu.parallel.mesh import build_mesh
+from gan_inpainting_tpu.parallel.sharding import batch_sharding, replicated
+
+
+def _bucket(value: int, buckets) -> int:
+    for b in sorted(buckets):
+        if value <= b:
+            return b
+    raise ValueError(f"{value} exceeds largest bucket {max(buckets)}; "
+                     f"configure a larger bucket in InferConfig")
+
+
+class Inpainter:
+    """Loads a generator and serves inpaint requests.
+
+    Use :func:`from_checkpoint` for the file-based path, or construct with
+    in-memory params (tests, post-training serving).
+    """
+
+    def __init__(self, cfg: Config, g_params, mesh=None):
+        self.cfg = cfg
+        self.generator = build_generator(cfg.model)
+        self.mesh = mesh if mesh is not None else build_mesh(cfg.train.mesh)
+        self.g_params = jax.device_put(g_params, replicated(self.mesh))
+        self._forward = functools.lru_cache(maxsize=None)(
+            self._build_forward)
+
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, workdir: str | None = None,
+                        mesh=None) -> "Inpainter":
+        from gan_inpainting_tpu.io.checkpoint import CheckpointManager
+        from gan_inpainting_tpu.train.state import create_state
+
+        template = create_state(cfg, jax.random.key(0))
+        ckpt = CheckpointManager(workdir or cfg.train.workdir)
+        state = ckpt.restore(template)
+        return cls(cfg, state.g_params, mesh=mesh)
+
+    # ------------------------------------------------------------------
+    def _build_forward(self, batch: int, size: int):
+        """One compiled program per (batch, size) bucket."""
+        gen = self.generator
+
+        def fwd(g_params, images_u8, masks):
+            image = normalize(images_u8)
+            masked = image * (1.0 - masks)
+            out = gen.apply({"params": g_params}, masked, masks)
+            fine = out.fine.astype(jnp.float32)
+            out_u8 = denormalize(fine)
+            # composite on raw uint8: known pixels bit-exact
+            keep = masks <= 0.0
+            return jnp.where(keep, images_u8, out_u8)
+
+        sharding = batch_sharding(self.mesh)
+        return jax.jit(
+            fwd,
+            in_shardings=(replicated(self.mesh), sharding,
+                          batch_sharding(self.mesh)),
+            out_shardings=sharding,
+        )
+
+    # ------------------------------------------------------------------
+    def inpaint_batch(self, images_u8, masks) -> np.ndarray:
+        """Batched API. images: (B,H,W,3) uint8; masks: (B,H,W[,1]), 1=hole."""
+        images_u8 = np.asarray(images_u8, np.uint8)
+        masks = np.asarray(masks, np.float32)
+        if masks.ndim == 3:
+            masks = masks[..., None]
+        b, h, w, _ = images_u8.shape
+        if h != w:
+            raise ValueError("non-square inputs are not supported yet; "
+                             "pad to square before calling")
+        icfg: InferConfig = self.cfg.infer
+        bb = _bucket(b, icfg.batch_buckets)
+        # the batch dim is sharded over the mesh's data axis — round the
+        # bucket up so every shard is non-empty
+        n_data = self.mesh.shape["data"]
+        bb = -(-bb // n_data) * n_data
+        sb = _bucket(h, icfg.size_buckets)
+        if sb != h:
+            pad = sb - h
+            images_u8 = np.pad(images_u8, ((0, 0), (0, pad), (0, pad), (0, 0)))
+            # padded area is "known" (mask 0) so the generator treats it as
+            # context and the crop below removes it
+            masks = np.pad(masks, ((0, 0), (0, pad), (0, pad), (0, 0)))
+        if bb != b:
+            reps = ((0, bb - b),) + ((0, 0),) * 3
+            images_u8 = np.pad(images_u8, reps)
+            masks = np.pad(masks, reps)
+        out = self._forward(bb, sb)(self.g_params,
+                                    jnp.asarray(images_u8),
+                                    jnp.asarray(masks))
+        return np.asarray(out)[:b, :h, :w, :]
+
+    def __call__(self, image, mask) -> np.ndarray:
+        """Single-image API: (H,W,3) uint8 + (H,W[,1]) mask → (H,W,3) uint8."""
+        out = self.inpaint_batch(np.asarray(image)[None],
+                                 np.asarray(mask)[None])
+        return out[0]
+
+    def warmup(self):
+        """Pre-compile every configured bucket (serving cold-start control)."""
+        for b in self.cfg.infer.batch_buckets:
+            for s in self.cfg.infer.size_buckets:
+                img = np.zeros((b, s, s, 3), np.uint8)
+                msk = np.zeros((b, s, s, 1), np.float32)
+                self.inpaint_batch(img, msk)
+
+
+def inpaint(image, mask, *, inpainter: Inpainter | None = None,
+            cfg: Config | None = None, workdir: str | None = None):
+    """Functional one-shot API mirroring the reference's ``inpaint(image,
+    mask)`` (SURVEY.md §3.2). Loads the latest checkpoint on first use unless
+    an :class:`Inpainter` is passed."""
+    if inpainter is None:
+        if cfg is None:
+            from gan_inpainting_tpu.configs.base import get_config
+
+            cfg = get_config("celeba128_center")
+        inpainter = Inpainter.from_checkpoint(cfg, workdir)
+    return inpainter(image, mask)

@@ -1,0 +1,13 @@
+from gan_inpainting_tpu.losses.adversarial import (  # noqa: F401
+    d_loss,
+    g_loss,
+)
+from gan_inpainting_tpu.losses.reconstruction import (  # noqa: F401
+    l1_loss,
+    spatial_discount_mask,
+)
+from gan_inpainting_tpu.losses.perceptual import (  # noqa: F401
+    VGG16Features,
+    gram_matrix,
+    perceptual_and_style_loss,
+)

@@ -1,0 +1,113 @@
+"""Contextual attention (reference R7; Yu et al. CVPR'18 "DeepFill v1",
+kept in DeepFill v2's refinement branch).
+
+Patch-match between hole (foreground) and known (background) features:
+
+1. Downscale f, b, mask by ``rate`` for matching.
+2. Keys   = L2-normalized ksize×ksize patches of b_small (stride 1).
+   Queries = ksize×ksize patches of f_small (stride 1).
+   Cosine scores = Q @ K^T, scaled by ``softmax_scale``.
+3. Keys whose patch overlaps the hole are masked out (additive -inf bias;
+   the reference lineage multiplies scores by the validity instead — the
+   additive form is numerically cleaner and identical when any valid key
+   exists; with *no* valid key both forms yield zeros here).
+4. Softmax over keys → attention; output patches = attention @ V where
+   V = (2·rate)×(2·rate) patches of full-res b at stride ``rate``.
+5. Overlap-add the output patches back to (H, W) and divide by exact
+   overlap counts (the reference divides by the constant interior count;
+   exact counts avoid edge artifacts).
+
+This file is the XLA fallback + dispatch. The Pallas path
+(ops/pallas/patch_attention.py) replaces steps 2-4 with a blockwise
+flash-attention kernel that never materializes the (Lq, Lk) score matrix —
+the memory hot spot at 512² (SURVEY.md §5 "long-context analogue").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gan_inpainting_tpu.ops.dispatch import resolve_backend
+from gan_inpainting_tpu.ops.patches import extract_patches, fold_patches
+
+NEG_INF = -1e9
+
+
+def _downscale(x, rate: int, method: str):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h // rate, w // rate, c), method=method)
+
+
+def _attention_inputs(f, b, hole_mask, ksize: int, rate: int):
+    """Shared front-end: build Q, K(normalized), key-validity, V."""
+    bsz, h, w, c = f.shape
+    if h % rate or w % rate:
+        raise ValueError(f"spatial dims {(h, w)} must divide rate={rate}")
+    hs, ws = h // rate, w // rate
+
+    # V from full-res background: (2r x 2r) patches at stride r → one patch
+    # per downscaled matching cell.
+    v = extract_patches(b, 2 * rate, rate, "same")          # (B,hs,ws,2r,2r,C)
+    v = v.reshape(bsz, hs * ws, 4 * rate * rate * c)
+
+    f_s = _downscale(f, rate, "nearest")
+    b_s = _downscale(b, rate, "nearest")
+    hole_s = _downscale(hole_mask, rate, "nearest")
+
+    q = extract_patches(f_s, ksize, 1, "same")
+    q = q.reshape(bsz, hs * ws, ksize * ksize * c)
+    k = extract_patches(b_s, ksize, 1, "same")
+    k = k.reshape(bsz, hs * ws, ksize * ksize * c)
+    knorm = jnp.sqrt(
+        jnp.sum(jnp.square(k.astype(jnp.float32)), -1, keepdims=True))
+    k = (k / jnp.maximum(knorm, 1e-4).astype(k.dtype))
+
+    # key j is valid iff its ksize-window contains no hole pixel
+    hole_patch = extract_patches(hole_s, ksize, 1, "same")
+    key_valid = (hole_patch.reshape(bsz, hs * ws, -1).max(-1) == 0)
+    return q, k, key_valid, v, (hs, ws)
+
+
+def contextual_attention(f, b, hole_mask, *, ksize: int = 3, rate: int = 2,
+                         softmax_scale: float = 10.0, backend: str = "auto"):
+    """Contextual attention.
+
+    Args:
+      f: (B, H, W, C) foreground features (queries; typically == b).
+      b: (B, H, W, C) background features (keys/values).
+      hole_mask: (B, H, W, 1), 1 = hole. Keys inside the hole are excluded.
+
+    Returns:
+      (B, H, W, C) attended features.
+    """
+    backend = resolve_backend(backend)
+    bsz, h, w, c = f.shape
+    q, k, key_valid, v, (hs, ws) = _attention_inputs(
+        f, b, hole_mask, ksize, rate)
+
+    if backend == "pallas":
+        from gan_inpainting_tpu.ops.pallas.patch_attention import (
+            patch_attention_pallas,
+        )
+        yp = patch_attention_pallas(q, k, key_valid, v,
+                                    softmax_scale=softmax_scale)
+    else:
+        yp = _patch_attention_xla(q, k, key_valid, v, softmax_scale)
+
+    yp = yp.reshape(bsz, hs, ws, 2 * rate, 2 * rate, c)
+    y, cnt = fold_patches(yp, rate, (h, w), "same")
+    y = y / jnp.maximum(cnt, 1.0).astype(y.dtype)
+    return y.astype(f.dtype)
+
+
+def _patch_attention_xla(q, k, key_valid, v, softmax_scale: float):
+    """Dense attention: materializes the (Lq, Lk) score matrix."""
+    scores = jnp.einsum("bqd,bkd->bqk", q, k,
+                        preferred_element_type=jnp.float32)
+    bias = jnp.where(key_valid, 0.0, NEG_INF)[:, None, :]
+    attn = jax.nn.softmax(softmax_scale * scores + bias, axis=-1)
+    # kill the uniform-leak case where no key is valid
+    attn = attn * key_valid[:, None, :].astype(attn.dtype)
+    return jnp.einsum("bqk,bke->bqe", attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)

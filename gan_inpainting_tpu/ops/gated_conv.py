@@ -1,0 +1,52 @@
+"""Gated convolution (reference R5; DeepFill-v2, Yu et al. ICCV'19).
+
+``y = act(conv_f(x)) * sigmoid(conv_g(x))`` where conv_f/conv_g are one conv
+producing 2*features channels, split down the middle.
+
+Backends:
+* xla    — one conv + split + elementwise. XLA fuses the epilogue into the
+  conv already; this is the reference semantics and the equivalence oracle.
+* pallas — the conv is lowered to an im2col matmul whose epilogue (bias,
+  activation, gate) is fused in a single Pallas kernel so the 2F-channel
+  pre-activation never round-trips to HBM (ops/pallas/fused_matmul.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gan_inpainting_tpu.ops.conv import conv2d
+from gan_inpainting_tpu.ops.dispatch import resolve_backend
+
+
+def _activation(name: str):
+    return {
+        "elu": jax.nn.elu,
+        "relu": jax.nn.relu,
+        "leaky_relu": lambda x: jax.nn.leaky_relu(x, 0.2),
+        "none": lambda x: x,
+        "tanh": jnp.tanh,
+    }[name]
+
+
+def gated_conv(x, kernel, bias, *, stride: int = 1, dilation: int = 1,
+               activation: str = "elu", backend: str = "auto"):
+    """Gated conv. kernel: (kh, kw, Cin, 2*F); returns (B, Ho, Wo, F)."""
+    backend = resolve_backend(backend)
+    if backend == "pallas":
+        from gan_inpainting_tpu.ops.pallas.fused_matmul import (
+            gated_conv_pallas,
+        )
+        return gated_conv_pallas(x, kernel, bias, stride=stride,
+                                 dilation=dilation, activation=activation)
+    return gated_conv_xla(x, kernel, bias, stride=stride, dilation=dilation,
+                          activation=activation)
+
+
+def gated_conv_xla(x, kernel, bias, *, stride: int = 1, dilation: int = 1,
+                   activation: str = "elu"):
+    y = conv2d(x, kernel, stride=stride, dilation=dilation)
+    y = y + bias.astype(y.dtype)
+    features, gate = jnp.split(y, 2, axis=-1)
+    return _activation(activation)(features) * jax.nn.sigmoid(gate)

@@ -1,0 +1,98 @@
+"""Patch extraction / overlap-add folding (unfold/fold in torch terms).
+
+The reference's contextual attention uses ``torch.unfold`` + transposed conv
+(SURVEY.md R7). Here both directions are written as static shifted strided
+slices — kh*kw cheap slices that XLA fuses — with deterministic
+(kh, kw, C)-ordered layout, rather than relying on the undocumented channel
+ordering of ``conv_general_dilated_patches``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def same_pads(size: int, window: int, stride: int) -> tuple[int, int]:
+    """TF-style SAME padding (lo, hi) for one spatial dim."""
+    out = -(-size // stride)  # ceil
+    total = max((out - 1) * stride + window - size, 0)
+    return total // 2, total - total // 2
+
+
+def extract_patches(x, window: int, stride: int,
+                    pads: tuple[int, int] | str = "same"):
+    """Extract square patches.
+
+    Args:
+      x: (B, H, W, C)
+      window: patch side k
+      stride: patch stride
+      pads: (lo, hi) applied to both spatial dims, or "same"/"valid"
+
+    Returns:
+      (B, Ho, Wo, k, k, C) patches, where element [b, i, j, p, q, c] is
+      x_padded[b, i*stride + p, j*stride + q, c].
+    """
+    b, h, w, c = x.shape
+    if pads == "same":
+        ph = same_pads(h, window, stride)
+        pw = same_pads(w, window, stride)
+    elif pads == "valid":
+        ph = pw = (0, 0)
+    else:
+        ph = pw = pads
+    xp = jnp.pad(x, ((0, 0), ph, pw, (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    ho = (hp - window) // stride + 1
+    wo = (wp - window) // stride + 1
+
+    rows = []
+    for p in range(window):
+        cols = []
+        for q in range(window):
+            sl = xp[:, p:p + (ho - 1) * stride + 1:stride,
+                    q:q + (wo - 1) * stride + 1:stride, :]
+            cols.append(sl)
+        rows.append(jnp.stack(cols, axis=3))        # (B,Ho,Wo,k,C)
+    return jnp.stack(rows, axis=3)                   # (B,Ho,Wo,k,k,C)
+
+
+def fold_patches(patches, stride: int, out_hw: tuple[int, int],
+                 pads: tuple[int, int] | str = "same"):
+    """Overlap-add the transpose of :func:`extract_patches`.
+
+    Args:
+      patches: (B, Ho, Wo, k, k, C)
+      stride: stride used at extraction
+      out_hw: (H, W) of the original (unpadded) array
+      pads: padding used at extraction ((lo, hi) or "same"/"valid")
+
+    Returns:
+      (B, H, W, C) overlap-added array, and (H, W, 1) overlap counts so the
+      caller can normalize (counts are the fold of all-ones patches).
+    """
+    b, ho, wo, k, k2, c = patches.shape
+    assert k == k2
+    h, w = out_hw
+    if pads == "same":
+        ph = same_pads(h, k, stride)
+        pw = same_pads(w, k, stride)
+    elif pads == "valid":
+        ph = pw = (0, 0)
+    else:
+        ph = pw = pads
+    hp = h + ph[0] + ph[1]
+    wp = w + pw[0] + pw[1]
+
+    out = jnp.zeros((b, hp, wp, c), patches.dtype)
+    cnt = jnp.zeros((hp, wp, 1), patches.dtype)
+    one = jnp.ones((ho, wo, 1), patches.dtype)
+    for p in range(k):
+        for q in range(k):
+            rs = slice(p, p + (ho - 1) * stride + 1, stride)
+            cs = slice(q, q + (wo - 1) * stride + 1, stride)
+            out = out.at[:, rs, cs, :].add(patches[:, :, :, p, q, :])
+            cnt = cnt.at[rs, cs, :].add(one)
+    out = out[:, ph[0]:ph[0] + h, pw[0]:pw[0] + w, :]
+    cnt = cnt[ph[0]:ph[0] + h, pw[0]:pw[0] + w, :]
+    return out, cnt

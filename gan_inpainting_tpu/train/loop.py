@@ -1,0 +1,113 @@
+"""Training driver (reference R13's outer loop, SURVEY.md §3.1).
+
+Responsibilities: mesh + sharded step construction, data iteration, periodic
+logging / eval / sample dumps / async checkpoints, auto-resume from the
+latest checkpoint (SURVEY.md §5 failure recovery). All math lives in the
+jitted step; this file is orchestration only.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from gan_inpainting_tpu.configs.base import Config
+from gan_inpainting_tpu.data.loader import make_dataset
+from gan_inpainting_tpu.data.pipeline import denormalize, make_train_batch
+from gan_inpainting_tpu.io.checkpoint import CheckpointManager
+from gan_inpainting_tpu.io.metrics_writer import MetricsWriter
+from gan_inpainting_tpu.parallel.mesh import build_mesh
+from gan_inpainting_tpu.parallel.sharding import replicated, shard_batch
+from gan_inpainting_tpu.train.evaluate import evaluate, make_eval_step
+from gan_inpainting_tpu.train.state import create_state
+from gan_inpainting_tpu.train.step import make_train_step
+from gan_inpainting_tpu.utils.rng import make_streams
+
+
+def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
+    """Run cfg.train.steps of GAN training; returns (state, last_metrics)."""
+    mesh = build_mesh(cfg.train.mesh)
+    streams = make_streams(cfg.train.seed)
+
+    state = create_state(cfg, streams["params"].at_step(0))
+    state = jax.device_put(state, replicated(mesh))
+
+    ckpt = CheckpointManager(cfg.train.workdir, cfg.train.max_checkpoints)
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        if verbose:
+            print(f"[train] resumed from step {int(state.step)}")
+
+    writer = MetricsWriter(cfg.train.workdir)
+    train_step = make_train_step(cfg)
+    eval_step = make_eval_step(cfg)
+    data = make_dataset(cfg.data, seed=cfg.train.seed, split="train")
+
+    start_step = int(state.step)
+    metrics = {}
+    t_last = time.perf_counter()
+    steps_since_log = 0
+
+    with mesh:
+        for step in range(start_step, cfg.train.steps):
+            images = next(data)
+            batch = make_train_batch(
+                images, streams["masks"].at_step(step), cfg.mask)
+            batch = shard_batch(mesh, batch)
+            state, metrics = train_step(
+                state, batch, streams["train"].at_step(step))
+            steps_since_log += 1
+
+            next_step = step + 1
+            if next_step % cfg.train.log_every == 0 or next_step == cfg.train.steps:
+                metrics = jax.device_get(metrics)
+                now = time.perf_counter()
+                sps = steps_since_log / max(now - t_last, 1e-9)
+                t_last, steps_since_log = now, 0
+                scalars = {k: float(v) for k, v in metrics.items()}
+                scalars["steps_per_sec"] = sps
+                scalars["images_per_sec"] = sps * cfg.data.batch_size
+                writer.scalars(next_step, scalars)
+                if verbose:
+                    msg = " ".join(f"{k}={v:.4g}" for k, v in scalars.items())
+                    print(f"[train] step {next_step}: {msg}")
+
+            if next_step % cfg.train.eval_every == 0 or next_step == cfg.train.steps:
+                ev = evaluate(cfg, state.g_params, eval_step=eval_step)
+                writer.scalars(next_step, {f"eval_{k}": v
+                                           for k, v in ev.items()})
+                if verbose:
+                    print(f"[train] eval@{next_step}: {ev}")
+                _dump_samples(cfg, state, writer, next_step, streams)
+
+            if next_step % cfg.train.checkpoint_every == 0 or next_step == cfg.train.steps:
+                ckpt.save(next_step, state, cfg)
+
+    ckpt.wait()
+    writer.close()
+    return state, metrics
+
+
+def _dump_samples(cfg: Config, state, writer: MetricsWriter, step: int,
+                  streams, n: int = 4):
+    """Write a (masked | output | composite | target) grid to TB."""
+    from gan_inpainting_tpu.models.generator import build_generator
+    from gan_inpainting_tpu.train.step import composite
+
+    it = make_dataset(cfg.data, seed=cfg.train.seed, split="eval",
+                      batch_size=n)
+    batch = make_train_batch(next(it), streams["eval"].at_step(step),
+                             cfg.mask)
+    generator = build_generator(cfg.model)
+    out = generator.apply({"params": state.g_params}, batch.masked,
+                          batch.mask)
+    comp = composite(out.fine, batch.image, batch.mask)
+    row = np.concatenate([
+        np.asarray(denormalize(batch.masked)),
+        np.asarray(denormalize(out.fine)),
+        np.asarray(denormalize(comp)),
+        np.asarray(denormalize(batch.image)),
+    ], axis=2)  # side by side
+    writer.images(step, "samples", row)

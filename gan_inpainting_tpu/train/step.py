@@ -1,0 +1,147 @@
+"""The jitted alternating G/D train step (reference R13, SURVEY.md §3.1).
+
+The whole per-batch body of the reference's training loop — D step on
+(real, detached fake), then G step against the *updated* D with
+adv + L1 (+ VGG perceptual/style) — compiles into ONE XLA program:
+
+    train_step(state, batch, key) -> (state, metrics)
+
+with the state buffers donated. Real and fake discriminator passes run as a
+single batch-concatenated forward (one conv launch chain, better MXU shapes,
+and spectral-norm stats update exactly once per D step). Under a sharded jit
+the gradient all-reduce over the ``data`` mesh axis is emitted by GSPMD
+inside the same program — there is no Python-visible communication
+(SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gan_inpainting_tpu.configs.base import Config
+from gan_inpainting_tpu.data.pipeline import Batch
+from gan_inpainting_tpu.losses import adversarial
+from gan_inpainting_tpu.losses.perceptual import (
+    init_vgg,
+    perceptual_and_style_loss,
+)
+from gan_inpainting_tpu.losses.reconstruction import l1_loss
+from gan_inpainting_tpu.models.discriminator import build_discriminator
+from gan_inpainting_tpu.models.generator import build_generator
+from gan_inpainting_tpu.train.state import GANTrainState, make_optimizers
+
+
+def composite(fine, image, mask):
+    """Paste the generated hole into the known image (SURVEY.md §3.2)."""
+    mask = mask.astype(fine.dtype)
+    return fine * mask + image.astype(fine.dtype) * (1.0 - mask)
+
+
+def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
+    """Build the jitted train step for a config."""
+    generator = build_generator(cfg.model)
+    discriminator = build_discriminator(cfg.model)
+    g_tx, d_tx = make_optimizers(cfg)
+    adv_kind = cfg.loss.adversarial
+
+    use_vgg = cfg.loss.perceptual_weight > 0 or cfg.loss.style_weight > 0
+    if use_vgg:
+        vgg_model, vgg_params = init_vgg(cfg.loss.vgg_weights_path)
+
+        def vgg_apply(params, x):
+            return vgg_model.apply({"params": params}, x)
+
+    def g_forward(g_params, batch: Batch):
+        return generator.apply({"params": g_params}, batch.masked, batch.mask)
+
+    def d_forward(d_params, d_stats, images, masks, update_stats):
+        variables = {"params": d_params, "spectral": d_stats}
+        if update_stats:
+            logits, mutated = discriminator.apply(
+                variables, images, masks, update_stats=True,
+                mutable=["spectral"])
+            return logits, mutated["spectral"]
+        return discriminator.apply(variables, images, masks,
+                                   update_stats=False), d_stats
+
+    def step(state: GANTrainState, batch: Batch, key):
+        del key  # reserved for latent-noise generators
+        mask = batch.mask
+
+        # ---------------- D step ------------------------------------------
+        out = g_forward(state.g_params, batch)
+        fake = composite(out.fine, batch.image, mask)
+        fake = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(d_params):
+            both = jnp.concatenate([batch.image, fake], axis=0)
+            masks2 = jnp.concatenate([mask, mask], axis=0)
+            logits, new_stats = d_forward(d_params, state.d_stats, both,
+                                          masks2, update_stats=True)
+            real_logits, fake_logits = jnp.split(logits, 2, axis=0)
+            loss = adversarial.d_loss(real_logits, fake_logits, adv_kind)
+            return loss, (new_stats, real_logits, fake_logits)
+
+        (d_loss_val, (new_stats, real_logits, fake_logits)), d_grads = (
+            jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
+        d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt,
+                                           state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---------------- G step (vs the updated D) -----------------------
+        def g_loss_fn(g_params):
+            gen = g_forward(g_params, batch)
+            comp = composite(gen.fine, batch.image, mask)
+            logits, _ = d_forward(new_d_params, new_stats, comp, mask,
+                                  update_stats=False)
+            adv = adversarial.g_loss(logits, adv_kind)
+
+            rec = l1_loss(gen.fine, batch.image, mask,
+                          hole_weight=cfg.loss.l1_hole_weight,
+                          valid_weight=cfg.loss.l1_valid_weight,
+                          discount_gamma=cfg.loss.spatial_discount)
+            if gen.coarse is not None:
+                rec = rec + l1_loss(gen.coarse, batch.image, mask,
+                                    hole_weight=cfg.loss.l1_hole_weight,
+                                    valid_weight=cfg.loss.l1_valid_weight,
+                                    discount_gamma=cfg.loss.spatial_discount)
+
+            perc = style = jnp.asarray(0.0, jnp.float32)
+            if use_vgg:
+                perc, style = perceptual_and_style_loss(
+                    vgg_apply, vgg_params, comp, batch.image)
+
+            total = (cfg.loss.gan_weight * adv
+                     + cfg.loss.l1_weight * rec
+                     + cfg.loss.perceptual_weight * perc
+                     + cfg.loss.style_weight * style)
+            aux = {"g_adv": adv, "g_l1": rec, "g_perceptual": perc,
+                   "g_style": style}
+            return total, aux
+
+        (g_loss_val, g_aux), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params))
+        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt,
+                                           state.g_params)
+        new_g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=new_g_params, g_opt=new_g_opt,
+            d_params=new_d_params, d_opt=new_d_opt,
+            d_stats=new_stats)
+        metrics = {
+            "d_loss": d_loss_val,
+            "g_loss": g_loss_val,
+            "d_real": jnp.mean(real_logits),
+            "d_fake": jnp.mean(fake_logits),
+            **g_aux,
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)

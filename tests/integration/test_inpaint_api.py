@@ -1,0 +1,74 @@
+"""inpaint(image, mask) API-contract tests (SURVEY.md §4 "API contract")."""
+
+import jax
+import numpy as np
+import pytest
+
+from gan_inpainting_tpu.configs.base import apply_overrides
+from gan_inpainting_tpu.infer.inpaint import Inpainter
+from gan_inpainting_tpu.train.state import create_state
+
+
+@pytest.fixture()
+def inpainter(tiny_config):
+    cfg = apply_overrides(tiny_config, ["infer.batch_buckets=1,4",
+                                        "infer.size_buckets=32,64"])
+    state = create_state(cfg, jax.random.key(0))
+    return Inpainter(cfg, state.g_params)
+
+
+def _image(seed, size=32):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+
+
+def test_known_pixels_preserved_exactly(inpainter):
+    img = _image(0)
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    out = inpainter(img, mask)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    np.testing.assert_array_equal(out[mask == 0], img[mask == 0])
+
+
+def test_hole_pixels_are_generated(inpainter):
+    img = _image(1)
+    mask = np.zeros((32, 32), np.float32)
+    mask[4:28, 4:28] = 1.0
+    out = inpainter(img, mask)
+    # untrained network: practically impossible to reproduce the hole exactly
+    assert (out[mask == 1] != img[mask == 1]).any()
+
+
+def test_mask_channel_dim_optional(inpainter):
+    img = _image(2)
+    mask = np.zeros((32, 32, 1), np.float32)
+    mask[10:20, 10:20] = 1.0
+    out = inpainter(img, mask)
+    assert out.shape == img.shape
+
+
+def test_batched_api(inpainter):
+    imgs = np.stack([_image(i) for i in range(3)])
+    masks = np.zeros((3, 32, 32), np.float32)
+    masks[:, 8:24, 8:24] = 1.0
+    out = inpainter.inpaint_batch(imgs, masks)
+    assert out.shape == imgs.shape
+    np.testing.assert_array_equal(out[masks == 0], imgs[masks == 0])
+
+
+def test_size_bucketing_pads_and_crops(inpainter):
+    # 48 is between buckets 32 and 64 → padded to 64, cropped back
+    img = _image(3, size=48)
+    mask = np.zeros((48, 48), np.float32)
+    mask[10:30, 10:30] = 1.0
+    out = inpainter(img, mask)
+    assert out.shape == (48, 48, 3)
+    np.testing.assert_array_equal(out[mask == 0], img[mask == 0])
+
+
+def test_oversize_raises(inpainter):
+    img = _image(4, size=128)
+    mask = np.zeros((128, 128), np.float32)
+    with pytest.raises(ValueError, match="bucket"):
+        inpainter(img, mask)

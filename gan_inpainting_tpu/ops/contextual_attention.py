@@ -81,7 +81,7 @@ def contextual_attention(f, b, hole_mask, *, ksize: int = 3, rate: int = 2,
     Returns:
       (B, H, W, C) attended features.
     """
-    backend = resolve_backend(backend)
+    backend = resolve_backend(backend, op="contextual_attention")
     bsz, h, w, c = f.shape
     q, k, key_valid, v, (hs, ws) = _attention_inputs(
         f, b, hole_mask, ksize, rate)

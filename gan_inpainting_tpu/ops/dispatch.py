@@ -22,6 +22,20 @@ _local = threading.local()
 
 VALID = ("auto", "xla", "pallas")
 
+# What "auto" means per op on TPU, set by measurement (ops/pallas/*.py):
+# * contextual_attention: the blockwise Pallas kernel wins — the XLA path
+#   materializes the (Lq, Lk) score matrix.
+# * gated conv: XLA's native conv + fused epilogue wins — the Pallas im2col
+#   formulation materializes a k²-times-larger activation (observed 6.75 GB
+#   HBM temp at 256²/batch 64 → compile OOM). The kernel remains available
+#   behind backend="pallas" for small shapes / experimentation.
+# * partial conv: XLA fuses the epilogue into the conv already.
+AUTO_TPU = {
+    "contextual_attention": "pallas",
+    "gated_conv": "xla",
+    "partial_conv": "xla",
+}
+
 
 def _default_device_kind() -> str:
     try:
@@ -30,14 +44,16 @@ def _default_device_kind() -> str:
         return "cpu"
 
 
-def resolve_backend(backend: str = "auto") -> str:
+def resolve_backend(backend: str = "auto", op: str | None = None) -> str:
     forced = getattr(_local, "forced", None)
     if forced is not None:
         backend = forced
     if backend not in VALID:
         raise ValueError(f"backend must be one of {VALID}, got {backend!r}")
     if backend == "auto":
-        return "pallas" if _default_device_kind() == "tpu" else "xla"
+        if _default_device_kind() != "tpu":
+            return "xla"
+        return AUTO_TPU.get(op, "pallas") if op else "pallas"
     return backend
 
 

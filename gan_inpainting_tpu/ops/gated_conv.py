@@ -33,7 +33,7 @@ def _activation(name: str):
 def gated_conv(x, kernel, bias, *, stride: int = 1, dilation: int = 1,
                activation: str = "elu", backend: str = "auto"):
     """Gated conv. kernel: (kh, kw, Cin, 2*F); returns (B, Ho, Wo, F)."""
-    backend = resolve_backend(backend)
+    backend = resolve_backend(backend, op="gated_conv")
     if backend == "pallas":
         from gan_inpainting_tpu.ops.pallas.fused_matmul import (
             gated_conv_pallas,

@@ -54,7 +54,7 @@ def partial_conv(x, valid, kernel, bias, *, stride: int = 1,
     Returns:
       (y, valid_out): (B, Ho, Wo, Cout) and the dilated validity mask.
     """
-    backend = resolve_backend(backend)
+    backend = resolve_backend(backend, op="partial_conv")
     k = kernel.shape[0]
     counts = _window_counts(valid, k, stride, dilation)
     raw = conv2d(x * valid.astype(x.dtype), kernel, stride=stride,

@@ -84,7 +84,53 @@ def fold_patches(patches, stride: int, out_hw: tuple[int, int],
     hp = h + ph[0] + ph[1]
     wp = w + pw[0] + pw[1]
 
-    out = jnp.zeros((b, hp, wp, c), patches.dtype)
+    if k % stride == 0:
+        out, cnt = _fold_tiled(patches, stride, (hp, wp))
+    else:
+        out, cnt = _fold_scatter(patches, stride, (hp, wp))
+    out = out[:, ph[0]:ph[0] + h, pw[0]:pw[0] + w, :]
+    cnt = cnt[ph[0]:ph[0] + h, pw[0]:pw[0] + w, :]
+    return out, cnt
+
+
+def _fold_tiled(patches, stride: int, hw_padded: tuple[int, int]):
+    """Scatter-free overlap-add for window = m*stride.
+
+    Offset-block (a, b) of every patch — rows a*s..(a+1)*s, cols b*s..(b+1)*s
+    — tiles the padded output exactly (patch i starts at i*s, so its (a, b)
+    block covers rows (i+a)*s..(i+a+1)*s with no gaps or overlap across i).
+    The fold is then m² transpose-reshape layers, each padded into place and
+    summed: pure reshapes + elementwise adds, no scatter — scatters serialize
+    terribly on TPU and dominated the first profile of this op.
+    """
+    bsz, ho, wo, k, _, c = patches.shape
+    s = stride
+    m = k // s
+    hp, wp = hw_padded
+    layer_h, layer_w = ho * s, wo * s
+
+    out = jnp.zeros((bsz, hp, wp, c), patches.dtype)
+    cnt = jnp.zeros((hp, wp, 1), patches.dtype)
+    for a in range(m):
+        for b_ in range(m):
+            block = patches[:, :, :, a * s:(a + 1) * s, b_ * s:(b_ + 1) * s,
+                            :]
+            layer = block.transpose(0, 1, 3, 2, 4, 5).reshape(
+                bsz, layer_h, layer_w, c)
+            pad_r = (a * s, hp - a * s - layer_h)
+            pad_c = (b_ * s, wp - b_ * s - layer_w)
+            out = out + jnp.pad(layer, ((0, 0), pad_r, pad_c, (0, 0)))
+            cnt = cnt + jnp.pad(
+                jnp.ones((layer_h, layer_w, 1), patches.dtype),
+                (pad_r, pad_c, (0, 0)))
+    return out, cnt
+
+
+def _fold_scatter(patches, stride: int, hw_padded: tuple[int, int]):
+    """General fallback (window not a multiple of stride): strided scatter."""
+    bsz, ho, wo, k, _, c = patches.shape
+    hp, wp = hw_padded
+    out = jnp.zeros((bsz, hp, wp, c), patches.dtype)
     cnt = jnp.zeros((hp, wp, 1), patches.dtype)
     one = jnp.ones((ho, wo, 1), patches.dtype)
     for p in range(k):
@@ -93,6 +139,4 @@ def fold_patches(patches, stride: int, out_hw: tuple[int, int],
             cs = slice(q, q + (wo - 1) * stride + 1, stride)
             out = out.at[:, rs, cs, :].add(patches[:, :, :, p, q, :])
             cnt = cnt.at[rs, cs, :].add(one)
-    out = out[:, ph[0]:ph[0] + h, pw[0]:pw[0] + w, :]
-    cnt = cnt[ph[0]:ph[0] + h, pw[0]:pw[0] + w, :]
     return out, cnt

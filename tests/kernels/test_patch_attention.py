@@ -1,0 +1,89 @@
+"""Pallas patch-attention kernel equivalence vs the XLA oracle
+(SURVEY.md §4 "kernel equivalence" — the critical correctness gate).
+
+Runs in Pallas interpreter mode on CPU; the same code path compiles on TPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from gan_inpainting_tpu.ops.contextual_attention import _patch_attention_xla
+from gan_inpainting_tpu.ops.pallas.patch_attention import (
+    patch_attention_pallas,
+)
+
+
+def _inputs(key, b, lq, lk, d, dv, valid_frac=0.7, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.key(key), 4)
+    q = jax.random.normal(ks[0], (b, lq, d), dtype)
+    k = jax.random.normal(ks[1], (b, lk, d), dtype)
+    k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-4)
+    v = jax.random.normal(ks[2], (b, lk, dv), dtype)
+    valid = jax.random.uniform(ks[3], (b, lk)) < valid_frac
+    return q, k, valid, v
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 64, 64, 36, 48),        # tiny
+    (2, 130, 70, 36, 48),       # non-multiple of block sizes → padding
+    (1, 256, 256, 72, 192),     # multi-tile both ways
+])
+def test_forward_matches_xla(shape):
+    b, lq, lk, d, dv = shape
+    q, k, valid, v = _inputs(0, b, lq, lk, d, dv)
+    expected = _patch_attention_xla(q, k, valid, v, 10.0)
+    with pltpu.force_tpu_interpret_mode():
+        got = patch_attention_pallas(q, k, valid, v, softmax_scale=10.0,
+                                     block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_forward_all_invalid_rows_zero():
+    q, k, valid, v = _inputs(1, 1, 64, 64, 36, 48)
+    valid = jnp.zeros_like(valid)
+    with pltpu.force_tpu_interpret_mode():
+        got = patch_attention_pallas(q, k, valid, v, softmax_scale=10.0,
+                                     block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
+
+
+def test_gradients_match_xla():
+    q, k, valid, v = _inputs(2, 1, 128, 128, 36, 48)
+
+    def loss_ref(q_, k_, v_):
+        y = _patch_attention_xla(q_, k_, valid, v_, 10.0)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_pallas(q_, k_, v_):
+        y = patch_attention_pallas(q_, k_, valid, v_, softmax_scale=10.0,
+                                   block_q=64, block_k=64)
+        return jnp.sum(jnp.sin(y))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_full_contextual_attention_pallas_vs_xla():
+    """End-to-end contextual_attention with backend=pallas (interpreted)."""
+    from gan_inpainting_tpu.ops.contextual_attention import (
+        contextual_attention,
+    )
+
+    f = jax.random.normal(jax.random.key(5), (1, 16, 16, 8))
+    hole = jnp.zeros((1, 16, 16, 1)).at[:, 4:12, 4:12, :].set(1.0)
+    expected = contextual_attention(f, f, hole, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = contextual_attention(f, f, hole, backend="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)

@@ -43,6 +43,11 @@ def main(argv=None) -> int:
     p_bench.add_argument("--mode", default="infer",
                          choices=["infer", "train"])
 
+    p_prof = sub.add_parser("profile",
+                            help="jax.profiler trace around N train steps")
+    _add_common(p_prof)
+    p_prof.add_argument("--steps", type=int, default=5)
+
     sub.add_parser("configs", help="list named configs")
 
     args = parser.parse_args(argv)
@@ -84,6 +89,20 @@ def main(argv=None) -> int:
         from gan_inpainting_tpu.bench import run_bench
 
         print(json.dumps(run_bench(cfg, mode=args.mode)))
+        return 0
+
+    if args.cmd == "profile":
+        import dataclasses
+
+        from gan_inpainting_tpu.train.loop import train
+        from gan_inpainting_tpu.utils.debug import trace
+
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, steps=args.steps, eval_every=10 ** 9,
+                checkpoint_every=10 ** 9))
+        with trace(cfg.train.workdir):
+            train(cfg, resume=False)
         return 0
 
     return 1

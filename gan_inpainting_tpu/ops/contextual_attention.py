@@ -34,9 +34,10 @@ from gan_inpainting_tpu.ops.patches import extract_patches, fold_patches
 NEG_INF = -1e9
 
 
-def _downscale(x, rate: int, method: str):
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h // rate, w // rate, c), method=method)
+def _downscale(x, rate: int):
+    # nearest-neighbor downscale as a strided slice: jax.image.resize lowers
+    # to a gather, which is an order of magnitude slower on TPU
+    return x[:, ::rate, ::rate, :]
 
 
 def _attention_inputs(f, b, hole_mask, ksize: int, rate: int):
@@ -51,21 +52,35 @@ def _attention_inputs(f, b, hole_mask, ksize: int, rate: int):
     v = extract_patches(b, 2 * rate, rate, "same")          # (B,hs,ws,2r,2r,C)
     v = v.reshape(bsz, hs * ws, 4 * rate * rate * c)
 
-    f_s = _downscale(f, rate, "nearest")
-    b_s = _downscale(b, rate, "nearest")
-    hole_s = _downscale(hole_mask, rate, "nearest")
+    f_s = _downscale(f, rate)
+    b_s = _downscale(b, rate)
 
-    q = extract_patches(f_s, ksize, 1, "same")
-    q = q.reshape(bsz, hs * ws, ksize * ksize * c)
-    k = extract_patches(b_s, ksize, 1, "same")
-    k = k.reshape(bsz, hs * ws, ksize * ksize * c)
+    # q and k are the same extraction when f is b (the universal case in
+    # DeepFill's refinement stage) — compute once
+    k_raw = extract_patches(b_s, ksize, 1, "same")
+    k_raw = k_raw.reshape(bsz, hs * ws, ksize * ksize * c)
+    if f is b:
+        q = k_raw
+    else:
+        q = extract_patches(f_s, ksize, 1, "same")
+        q = q.reshape(bsz, hs * ws, ksize * ksize * c)
     knorm = jnp.sqrt(
-        jnp.sum(jnp.square(k.astype(jnp.float32)), -1, keepdims=True))
-    k = (k / jnp.maximum(knorm, 1e-4).astype(k.dtype))
+        jnp.sum(jnp.square(k_raw.astype(jnp.float32)), -1, keepdims=True))
+    k = (k_raw / jnp.maximum(knorm, 1e-4).astype(k_raw.dtype))
 
-    # key j is valid iff its ksize-window contains no hole pixel
-    hole_patch = extract_patches(hole_s, ksize, 1, "same")
-    key_valid = (hole_patch.reshape(bsz, hs * ws, -1).max(-1) == 0)
+    # key j is valid iff its ksize-window contains no hole pixel: a window
+    # max over the downscaled hole map (reduce_window, not patch extraction)
+    hole_s = _downscale(hole_mask, rate).astype(jnp.float32)
+    pad = [(0, 0),
+           ((ksize - 1) // 2, ksize // 2),
+           ((ksize - 1) // 2, ksize // 2),
+           (0, 0)]
+    hole_max = jax.lax.reduce_window(
+        hole_s, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, ksize, ksize, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=pad)
+    key_valid = hole_max.reshape(bsz, hs * ws) <= 0.0
     return q, k, key_valid, v, (hs, ws)
 
 
@@ -83,17 +98,30 @@ def contextual_attention(f, b, hole_mask, *, ksize: int = 3, rate: int = 2,
     """
     backend = resolve_backend(backend, op="contextual_attention")
     bsz, h, w, c = f.shape
-    q, k, key_valid, v, (hs, ws) = _attention_inputs(
-        f, b, hole_mask, ksize, rate)
 
-    if backend == "pallas":
-        from gan_inpainting_tpu.ops.pallas.patch_attention import (
-            patch_attention_pallas,
+    yp = None
+    if backend == "pallas" and f is b:
+        from gan_inpainting_tpu.ops.pallas.fused_attention import (
+            fused_patch_attention,
+            fused_supported,
         )
-        yp = patch_attention_pallas(q, k, key_valid, v,
-                                    softmax_scale=softmax_scale)
-    else:
-        yp = _patch_attention_xla(q, k, key_valid, v, softmax_scale)
+        if fused_supported(f.shape, ksize, rate):
+            # fully-fused path: Q/K/V built in-kernel from the feature map
+            yp = fused_patch_attention(b, hole_mask, ksize=ksize, rate=rate,
+                                       softmax_scale=softmax_scale)
+            hs, ws = h // rate, w // rate
+
+    if yp is None:
+        q, k, key_valid, v, (hs, ws) = _attention_inputs(
+            f, b, hole_mask, ksize, rate)
+        if backend == "pallas":
+            from gan_inpainting_tpu.ops.pallas.patch_attention import (
+                patch_attention_pallas,
+            )
+            yp = patch_attention_pallas(q, k, key_valid, v,
+                                        softmax_scale=softmax_scale)
+        else:
+            yp = _patch_attention_xla(q, k, key_valid, v, softmax_scale)
 
     yp = yp.reshape(bsz, hs, ws, 2 * rate, 2 * rate, c)
     y, cnt = fold_patches(yp, rate, (h, w), "same")

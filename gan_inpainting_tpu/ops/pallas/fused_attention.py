@@ -1,0 +1,275 @@
+"""Fully-fused contextual attention: Q/K/V built in-kernel from feature maps.
+
+The materialized pipeline (ops/contextual_attention.py + patch_attention.py)
+writes Q (9C·Lq), K (9C·Lk) and V (4r²C·Lk) to HBM before attending — at
+256²/batch 64 that is ~0.6 GB of pure patch shuffling per forward, measured
+at ~8 ms of a ~20 ms op. This kernel keeps the *feature maps* VMEM-resident
+instead (they are 16x smaller than their patch expansions) and builds every
+tile on the fly:
+
+* Q/K tiles: ksize² shifted (row, col) slices of the padded downscaled map;
+  the d = ksize²·C contraction becomes ksize² accumulated C-contractions on
+  the MXU — no (L, d) patch tensor ever exists.
+* K normalization: ||patch||² = 3×3 window-sum of per-pixel ||feature||², a
+  cheap reduce_window outside the kernel, streamed per key tile like the
+  validity bias.
+* V tiles: a (2r, 2r) patch at stride r decomposes by sub-pixel parity —
+  V[(y,x),(p,q,c)] = b_full[y·r + p - r//2, x·r + q - r//2, c] lands in
+  space-to-depth map (p-r//2 mod r, q-r//2 mod r) at cell offset in {-1,0,1}
+  — so each of the 4r² (p,q) taps is one *contiguous* dynamic slice of a
+  padded parity map.
+* The flash recurrence (running max / denominator / f32 accumulator) is the
+  same as patch_attention.py; the accumulator is laid out (2r·2r, BQ, C) so
+  each (p,q) tap is its own MXU matmul with no unaligned lane writes.
+
+Key-grid tiles are whole rows (block = rows·Ws), so every slice is
+rectangular. Wrapper falls back to the materialized kernel when the shape
+doesn't tile this way. Gradients: custom VJP that rebuilds Q/K/V with the
+XLA front-end and reuses the materialized backward kernels — training takes
+the memory hit, serving gets the fusion.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+_INIT_M = -1e30
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
+def _fused_kernel(bias_ref, rnorm_ref, s2d_ref, o_ref,
+                  acc_scr, m_scr, l_scr,
+                  *, scale: float, nk: int, qr: int, kr: int,
+                  hs: int, ws: int, c: int, ksize: int, rate: int):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        m_scr[:] = jnp.full_like(m_scr, _INIT_M)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    bq = qr * ws
+    bk = kr * ws
+
+    # ---- scores: sum of ksize² C-contractions --------------------------
+    # the downscaled map b_s is exactly parity map (0, 0): s2d[0,0][i] =
+    # b_feat[(i-1)·r] = b_s[i-1] — same one-cell padding convention
+    s = jnp.zeros((bq, bk), jnp.float32)
+    for dp in range(ksize):
+        for dq in range(ksize):
+            qp = s2d_ref[0, 0, 0, pl.ds(iq * qr + dp, qr),
+                         pl.ds(dq, ws), :].reshape(bq, c)
+            kp = s2d_ref[0, 0, 0, pl.ds(ik * kr + dp, kr),
+                         pl.ds(dq, ws), :].reshape(bk, c)
+            s += jax.lax.dot_general(
+                qp, kp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    bias = bias_ref[0]          # (1, bk): 0 valid / NEG_INF hole
+    rnorm = rnorm_ref[0]        # (1, bk): 1/max(||k||, 1e-4)
+    s = s * (rnorm * scale) + bias
+
+    # ---- flash recurrence ----------------------------------------------
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    p = p * (bias >= 0.0)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    p16 = p.astype(s2d_ref.dtype)
+
+    # ---- accumulate each (vp, vq) tap: one matmul per tap ---------------
+    half = rate // 2
+    for vp in range(2 * rate):
+        for vq in range(2 * rate):
+            par_p = (vp - half) % rate
+            par_q = (vq - half) % rate
+            off_p = (vp - half) // rate + 1
+            off_q = (vq - half) // rate + 1
+            vpart = s2d_ref[0, par_p, par_q,
+                            pl.ds(ik * kr + off_p, kr),
+                            pl.ds(off_q, ws), :].reshape(bk, c)
+            pv = jax.lax.dot_general(
+                p16, vpart, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bq, c)
+            tap = vp * 2 * rate + vq
+            acc_scr[tap] = acc_scr[tap] * alpha + pv
+
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        inv = jnp.where(l > 0.0, 1.0 / jnp.maximum(l, 1e-30), 0.0)
+        o_ref[0] = (acc_scr[:] * inv[None, :, :]).astype(o_ref.dtype)
+
+
+def _fused_call(s2d_pad, bias, rnorm, *, scale: float,
+                hs: int, ws: int, ksize: int, rate: int,
+                qr: int, kr: int):
+    b = s2d_pad.shape[0]
+    c = s2d_pad.shape[-1]
+    lq = hs * ws
+    nq, nk = hs // qr, hs // kr
+    taps = 4 * rate * rate
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, scale=scale, nk=nk, qr=qr, kr=kr,
+            hs=hs, ws=ws, c=c, ksize=ksize, rate=rate),
+        grid=(b, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, kr * ws), lambda b_, iq, ik: (b_, 0, ik),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kr * ws), lambda b_, iq, ik: (b_, 0, ik),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rate, rate, hs + 2, ws + 2, c),
+                         lambda b_, iq, ik: (b_, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, taps, qr * ws, c),
+            lambda b_, iq, ik: (b_, 0, iq, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, taps, lq, c), s2d_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((taps, qr * ws, c), jnp.float32),
+            pltpu.VMEM((qr * ws, 128), jnp.float32),
+            pltpu.VMEM((qr * ws, 128), jnp.float32),
+        ],
+    )(bias[:, None, :], rnorm[:, None, :], s2d_pad)
+    return out
+
+
+def _prepare(b_feat, hole_mask, ksize: int, rate: int):
+    """XLA-side prep: parity maps, validity bias, key rnorm."""
+    bsz, h, w, c = b_feat.shape
+    hs, ws = h // rate, w // rate
+
+    b_s = b_feat[:, ::rate, ::rate, :]
+
+    # sub-pixel parity maps with one halo cell each side:
+    # submap[a, b][cell] = b_feat[cell*r + a, cell*r + b] with cell ∈
+    # [-1, Hs], out-of-range → 0. The kernel's tap (vp, vq) reads parity
+    # a = (vp - r//2) mod r at cell offset (vp - r//2)//r ∈ {-1, 0, 1}.
+    # (rate, 2*rate) padding: highest-parity slice still needs hs+2 cells
+    bf_pad = jnp.pad(b_feat,
+                     ((0, 0), (rate, 2 * rate), (rate, 2 * rate), (0, 0)))
+    subs = []
+    for a in range(rate):
+        row = []
+        for b_ in range(rate):
+            # bf_pad[j] = b_feat[j - rate] → element i is b_feat[(i-1)r + a]
+            sub = bf_pad[:, a::rate, b_::rate, :]
+            row.append(sub[:, :hs + 2, :ws + 2, :])
+        subs.append(jnp.stack(row, axis=1))
+    s2d_pad = jnp.stack(subs, axis=1)  # (B, r, r, Hs+2, Ws+2, C)
+
+    hole_s = hole_mask[:, ::rate, ::rate, :].astype(jnp.float32)
+    pad = [(0, 0), ((ksize - 1) // 2, ksize // 2),
+           ((ksize - 1) // 2, ksize // 2), (0, 0)]
+    hole_max = jax.lax.reduce_window(
+        hole_s, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, ksize, ksize, 1),
+        window_strides=(1, 1, 1, 1), padding=pad)
+    key_valid = hole_max.reshape(bsz, hs * ws) <= 0.0
+    bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)
+
+    # ||key patch||² = window-sum of per-pixel squared norms
+    px2 = jnp.sum(jnp.square(b_s.astype(jnp.float32)), -1, keepdims=True)
+    n2 = jax.lax.reduce_window(
+        px2, 0.0, jax.lax.add,
+        window_dimensions=(1, ksize, ksize, 1),
+        window_strides=(1, 1, 1, 1), padding=pad)
+    rnorm = (1.0 / jnp.maximum(jnp.sqrt(n2), 1e-4)).reshape(bsz, hs * ws)
+    return s2d_pad, bias, rnorm, (hs, ws)
+
+
+# VMEM plan: the r² parity maps stay resident (pipeline double-buffers
+# them), plus the f32 tap accumulator and output block. Past this budget
+# Mosaic fails to place buffers (observed at 512²) — fall back to the
+# streaming flash kernel instead.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _fused_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int) -> int:
+    maps = rate * rate * (hs + 2) * (ws + 2) * c * 2 * 2  # bf16, dbl-buffer
+    taps = 4 * rate * rate
+    acc = taps * qr * ws * c * 4
+    out = taps * qr * ws * c * 2 * 2
+    return maps + acc + out
+
+
+def fused_supported(shape, ksize: int, rate: int) -> bool:
+    _, h, w, c = shape
+    if ksize != 3 or h % rate or w % rate:
+        return False
+    hs, ws = h // rate, w // rate
+    if (qr := _lcm(128, ws) // ws) > hs or hs % qr:
+        return False
+    return _fused_vmem_bytes(hs, ws, c, rate, qr) <= _VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_attention(b_feat, hole_mask, ksize, rate, scale):
+    s2d_pad, bias, rnorm, (hs, ws) = _prepare(b_feat, hole_mask, ksize, rate)
+    qr = kr = _lcm(128, ws) // ws
+    out = _fused_call(s2d_pad, bias, rnorm, scale=scale,
+                      hs=hs, ws=ws, ksize=ksize, rate=rate, qr=qr, kr=kr)
+    # (B, taps, Lq, C) → (B, Lq, taps*C) patch layout used by fold
+    b = out.shape[0]
+    taps = 4 * rate * rate
+    out = out.transpose(0, 2, 1, 3).reshape(b, hs * ws, taps * b_feat.shape[-1])
+    return out
+
+
+def _fused_attention_fwd(b_feat, hole_mask, ksize, rate, scale):
+    return (_fused_attention(b_feat, hole_mask, ksize, rate, scale),
+            (b_feat, hole_mask))
+
+
+def _fused_attention_bwd(ksize, rate, scale, res, g):
+    """Recompute via the materialized XLA front-end + dense attention."""
+    from gan_inpainting_tpu.ops.contextual_attention import (
+        _attention_inputs,
+        _patch_attention_xla,
+    )
+
+    b_feat, hole_mask = res
+
+    def ref(bf):
+        q, k, valid, v, _ = _attention_inputs(bf, bf, hole_mask, ksize, rate)
+        return _patch_attention_xla(q, k, valid, v, scale)
+
+    _, vjp = jax.vjp(ref, b_feat)
+    (dbf,) = vjp(g)
+    return dbf, None
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+def fused_patch_attention(b_feat, hole_mask, *, ksize: int = 3,
+                          rate: int = 2, softmax_scale: float = 10.0):
+    """Attention output patches (B, Lq, 4r²C) straight from feature maps.
+
+    Requires f == b (queries and keys from the same feature map — the
+    DeepFill refinement usage). Check :func:`fused_supported` first.
+    """
+    return _fused_attention(b_feat, hole_mask, ksize, rate,
+                            float(softmax_scale))

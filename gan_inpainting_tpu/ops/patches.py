@@ -46,15 +46,16 @@ def extract_patches(x, window: int, stride: int,
     ho = (hp - window) // stride + 1
     wo = (wp - window) // stride + 1
 
-    rows = []
+    parts = []
     for p in range(window):
-        cols = []
         for q in range(window):
             sl = xp[:, p:p + (ho - 1) * stride + 1:stride,
                     q:q + (wo - 1) * stride + 1:stride, :]
-            cols.append(sl)
-        rows.append(jnp.stack(cols, axis=3))        # (B,Ho,Wo,k,C)
-    return jnp.stack(rows, axis=3)                   # (B,Ho,Wo,k,k,C)
+            parts.append(sl)
+    # one concat along channels, then a free reshape to (k, k, C) trailing
+    # dims — channel index (p*k + q)*C + c matches [p, q, c]
+    flat = jnp.concatenate(parts, axis=-1)           # (B,Ho,Wo,k*k*C)
+    return flat.reshape(b, ho, wo, window, window, c)
 
 
 def fold_patches(patches, stride: int, out_hw: tuple[int, int],

@@ -73,7 +73,8 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
         mask = batch.mask
 
         # ---------------- D step ------------------------------------------
-        out = g_forward(state.g_params, batch)
+        with jax.named_scope("g_forward_detached"):
+            out = g_forward(state.g_params, batch)
         fake = composite(out.fine, batch.image, mask)
         fake = jax.lax.stop_gradient(fake)
 
@@ -86,8 +87,9 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
             loss = adversarial.d_loss(real_logits, fake_logits, adv_kind)
             return loss, (new_stats, real_logits, fake_logits)
 
-        (d_loss_val, (new_stats, real_logits, fake_logits)), d_grads = (
-            jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
+        with jax.named_scope("d_step"):
+            (d_loss_val, (new_stats, real_logits, fake_logits)), d_grads = (
+                jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
         d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt,
                                            state.d_params)
         new_d_params = optax.apply_updates(state.d_params, d_updates)
@@ -123,8 +125,9 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
                    "g_style": style}
             return total, aux
 
-        (g_loss_val, g_aux), g_grads = (
-            jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params))
+        with jax.named_scope("g_step"):
+            (g_loss_val, g_aux), g_grads = (
+                jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params))
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt,
                                            state.g_params)
         new_g_params = optax.apply_updates(state.g_params, g_updates)

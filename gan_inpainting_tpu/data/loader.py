@@ -57,6 +57,21 @@ def _load_image(path: pathlib.Path, size: int) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
+def _load_batch(files: list[pathlib.Path], size: int) -> np.ndarray:
+    """Decode a batch: native C++ loader for JPEGs, PIL for the rest."""
+    from gan_inpainting_tpu.data import native_loader
+
+    jpeg = all(p.suffix.lower() in (".jpg", ".jpeg") for p in files)
+    if jpeg and native_loader.available():
+        batch, ok = native_loader.load_batch([str(p) for p in files], size)
+        if ok.all():
+            return batch
+        for i in np.flatnonzero(~ok):  # corrupt file → PIL second opinion
+            batch[i] = _load_image(files[i], size)
+        return batch
+    return np.stack([_load_image(p, size) for p in files])
+
+
 def _folder_iter(cfg: DataConfig, seed: int, batch_size: int,
                  split: str) -> Iterator[np.ndarray]:
     root = pathlib.Path(cfg.root)
@@ -73,9 +88,9 @@ def _folder_iter(cfg: DataConfig, seed: int, batch_size: int,
         while True:
             idx = rng.permutation(len(files))
             for start in range(0, len(idx) - batch_size + 1, batch_size):
-                batch = np.stack([
-                    _load_image(files[i], cfg.image_size)
-                    for i in idx[start:start + batch_size]])
+                batch = _load_batch(
+                    [files[i] for i in idx[start:start + batch_size]],
+                    cfg.image_size)
                 out_q.put(batch)
 
     q: queue.Queue = queue.Queue(maxsize=4)  # prefetch depth

@@ -45,9 +45,10 @@ class MeshConfig:
                 raise ValueError(
                     f"n_devices={n_devices} not divisible by model={model}")
             data = n_devices // model
-        if data * model != n_devices:
+        if data * model > n_devices:
             raise ValueError(
-                f"mesh {data}x{model} != device count {n_devices}")
+                f"mesh {data}x{model} needs more than the {n_devices} "
+                f"available devices")
         return data, model
 
 
@@ -57,7 +58,8 @@ def build_mesh(config: MeshConfig = MeshConfig(),
     if devices is None:
         devices = jax.devices()
     data, model = config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(data, model)
+    # an explicit smaller mesh uses a prefix of the devices
+    dev_array = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(dev_array, AXIS_NAMES)
 
 

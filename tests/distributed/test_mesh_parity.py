@@ -36,8 +36,13 @@ def test_mesh_construction(eight_devices):
     mesh = build_mesh(MeshConfig(data=-1, model=2), devices=eight_devices)
     assert mesh.devices.shape == (4, 2)
     assert mesh.axis_names == ("data", "model")
+    # smaller-than-available explicit mesh takes a device prefix
+    small = build_mesh(MeshConfig(data=3, model=2), devices=eight_devices)
+    assert small.devices.shape == (3, 2)
     with pytest.raises(ValueError):
-        build_mesh(MeshConfig(data=3, model=2), devices=eight_devices)
+        build_mesh(MeshConfig(data=5, model=2), devices=eight_devices)
+    with pytest.raises(ValueError):  # -1 with non-dividing model
+        build_mesh(MeshConfig(data=-1, model=3), devices=eight_devices)
 
 
 def test_data_parallel_matches_single_device(tiny_config, eight_devices):

@@ -93,6 +93,10 @@ class Inpainter:
         if masks.ndim == 3:
             masks = masks[..., None]
         b, h, w, _ = images_u8.shape
+        if masks.shape[:3] != (b, h, w):
+            raise ValueError(
+                f"mask shape {masks.shape[:3]} does not match images "
+                f"{(b, h, w)}")
         if h != w:
             raise ValueError("non-square inputs are not supported yet; "
                              "pad to square before calling")

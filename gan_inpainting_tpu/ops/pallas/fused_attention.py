@@ -207,12 +207,15 @@ def _prepare(b_feat, hole_mask, ksize: int, rate: int):
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
-def _fused_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int) -> int:
+def _fused_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int,
+                      kr: int | None = None) -> int:
     maps = rate * rate * (hs + 2) * (ws + 2) * c * 2 * 2  # bf16, dbl-buffer
     taps = 4 * rate * rate
     acc = taps * qr * ws * c * 4
     out = taps * qr * ws * c * 2 * 2
-    return maps + acc + out
+    kr = kr if kr is not None else _lcm(128, ws) // ws
+    scores = 2 * (qr * ws) * (kr * ws) * 4   # s + p transients, f32
+    return maps + acc + out + scores
 
 
 def fused_supported(shape, ksize: int, rate: int) -> bool:
@@ -225,10 +228,37 @@ def fused_supported(shape, ksize: int, rate: int) -> bool:
     return _fused_vmem_bytes(hs, ws, c, rate, qr) <= _VMEM_BUDGET_BYTES
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_attention(b_feat, hole_mask, ksize, rate, scale):
+def _choose_blocks(hs: int, ws: int, c: int, rate: int) -> tuple[int, int]:
+    """Pick (qr, kr) row-groups.
+
+    qr is pinned at the 128-lane minimum — the per-tap f32 accumulator
+    scales with it. kr grows as far as VMEM allows (key/value slices come
+    from the resident maps, so a bigger kr only costs score transients);
+    kr == hs collapses the flash loop to a single pass with larger, better
+    MXU matmuls.
+    """
+    base = _lcm(128, ws) // ws
+    qr = base
+    kr = base
+    mult = hs // base
+    while mult >= 1:
+        cand = base * mult
+        if (hs % cand == 0
+                and _fused_vmem_bytes(hs, ws, c, rate, qr, cand)
+                <= _VMEM_BUDGET_BYTES):
+            kr = cand
+            break
+        mult //= 2
+    return qr, kr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_attention(b_feat, hole_mask, ksize, rate, scale, blocks):
     s2d_pad, bias, rnorm, (hs, ws) = _prepare(b_feat, hole_mask, ksize, rate)
-    qr = kr = _lcm(128, ws) // ws
+    if blocks is None:
+        qr, kr = _choose_blocks(hs, ws, b_feat.shape[-1], rate)
+    else:
+        qr, kr = blocks
     out = _fused_call(s2d_pad, bias, rnorm, scale=scale,
                       hs=hs, ws=ws, ksize=ksize, rate=rate, qr=qr, kr=kr)
     # (B, taps, Lq, C) → (B, Lq, taps*C) patch layout used by fold
@@ -238,12 +268,13 @@ def _fused_attention(b_feat, hole_mask, ksize, rate, scale):
     return out
 
 
-def _fused_attention_fwd(b_feat, hole_mask, ksize, rate, scale):
-    return (_fused_attention(b_feat, hole_mask, ksize, rate, scale),
+def _fused_attention_fwd(b_feat, hole_mask, ksize, rate, scale, blocks):
+    return (_fused_attention(b_feat, hole_mask, ksize, rate, scale, blocks),
             (b_feat, hole_mask))
 
 
-def _fused_attention_bwd(ksize, rate, scale, res, g):
+def _fused_attention_bwd(ksize, rate, scale, blocks, res, g):
+    del blocks
     """Recompute via the materialized XLA front-end + dense attention."""
     from gan_inpainting_tpu.ops.contextual_attention import (
         _attention_inputs,
@@ -265,11 +296,13 @@ _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
 def fused_patch_attention(b_feat, hole_mask, *, ksize: int = 3,
-                          rate: int = 2, softmax_scale: float = 10.0):
+                          rate: int = 2, softmax_scale: float = 10.0,
+                          blocks: tuple[int, int] | None = None):
     """Attention output patches (B, Lq, 4r²C) straight from feature maps.
 
     Requires f == b (queries and keys from the same feature map — the
     DeepFill refinement usage). Check :func:`fused_supported` first.
+    ``blocks=(qr, kr)`` overrides the row-group heuristic (benchmarks).
     """
     return _fused_attention(b_feat, hole_mask, ksize, rate,
-                            float(softmax_scale))
+                            float(softmax_scale), blocks)

@@ -3,13 +3,12 @@
 One conv entry point for the whole framework: NHWC activations, HWIO kernels
 (TPU-native layouts — XLA tiles these onto the MXU without transposes).
 Compute dtype follows the inputs; pass bf16 activations/weights for MXU-rate
-compute and the accumulation stays f32 via ``preferred_element_type``.
+compute — the MXU accumulates in f32 internally regardless.
 """
 
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
 

@@ -7,7 +7,6 @@ computed where the images live and only (B,) scalars come back.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

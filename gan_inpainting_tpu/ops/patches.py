@@ -46,6 +46,9 @@ def extract_patches(x, window: int, stride: int,
     ho = (hp - window) // stride + 1
     wo = (wp - window) // stride + 1
 
+    if window % stride == 0 and stride > 1:
+        return _extract_tiled(xp, window, stride, ho, wo)
+
     parts = []
     for p in range(window):
         for q in range(window):
@@ -56,6 +59,36 @@ def extract_patches(x, window: int, stride: int,
     # dims — channel index (p*k + q)*C + c matches [p, q, c]
     flat = jnp.concatenate(parts, axis=-1)           # (B,Ho,Wo,k*k*C)
     return flat.reshape(b, ho, wo, window, window, c)
+
+
+def _extract_tiled(xp, window: int, stride: int, ho: int, wo: int):
+    """window = m·stride fast path: the inverse of :func:`_fold_tiled`.
+
+    Space-to-depth the padded input once (a reshape/transpose), then each of
+    the m² offset-blocks of every patch is a *contiguous* slice — k²
+    strided slices collapse to m² dense ones.
+    """
+    b = xp.shape[0]
+    c = xp.shape[-1]
+    s = stride
+    m = window // s
+    # cells needed: ho-1+m along rows; pad xp up to a whole cell grid
+    cells_h, cells_w = ho - 1 + m, wo - 1 + m
+    need_h, need_w = cells_h * s, cells_w * s
+    xp = jnp.pad(xp, ((0, 0), (0, need_h - xp.shape[1]),
+                      (0, need_w - xp.shape[2]), (0, 0)))
+    s2d = xp.reshape(b, cells_h, s, cells_w, s, c)
+
+    rows = []
+    for a in range(m):
+        cols = []
+        for b_ in range(m):
+            # patch (i, j)'s offset-block (a, b_) = cell (i + a, j + b_)
+            blk = s2d[:, a:a + ho, :, b_:b_ + wo, :, :]   # (B,ho,s,wo,s,C)
+            cols.append(blk.transpose(0, 1, 3, 2, 4, 5))  # (B,ho,wo,s,s,C)
+        rows.append(jnp.concatenate(cols, axis=4))         # concat q offsets
+    patches = jnp.concatenate(rows, axis=3)                # (B,ho,wo,k,k,C)
+    return patches
 
 
 def fold_patches(patches, stride: int, out_hw: tuple[int, int],

@@ -48,6 +48,10 @@ class MaskConfig:
     max_step: float = 40.0        # max segment length, pixels
     # mixed curriculum: probability of free-form vs center per sample
     freeform_prob: float = 0.5
+    # curriculum: holes ramp from start_scale of full difficulty to 100%
+    # over curriculum_steps train steps (0 = curriculum off)
+    curriculum_steps: int = 0
+    curriculum_start_scale: float = 0.4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,7 +187,8 @@ def _places512_sn_vgg() -> Config:
         data=DataConfig(image_size=512, batch_size=8),
         mask=MaskConfig(kind="mixed", freeform_prob=0.5,
                         max_strokes=12, max_segments=8,
-                        min_width=16.0, max_width=64.0, max_step=120.0),
+                        min_width=16.0, max_width=64.0, max_step=120.0,
+                        curriculum_steps=5000),
         model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
                           base_features=48, use_attention=True,
                           spectral_norm=True),

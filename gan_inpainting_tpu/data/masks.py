@@ -120,9 +120,11 @@ def _sample_strokes(key, cfg: MaskConfig, height: int, width: int):
     return a, b, w, valid
 
 
-def freeform_mask(key, height: int, width: int, cfg: MaskConfig):
+def freeform_mask(key, height: int, width: int, cfg: MaskConfig,
+                  progress=1.0):
     """Free-form stroke mask, (H, W, 1) float32 in {0,1}; 1 = hole."""
     a, b, w, valid = _sample_strokes(key, cfg, height, width)
+    w = w * _difficulty(cfg, progress)  # curriculum: thinner early strokes
     ys, xs = _pixel_grid(height, width)
     num_segments = a.shape[0]
 
@@ -149,21 +151,56 @@ def freeform_mask(key, height: int, width: int, cfg: MaskConfig):
 # ---------------------------------------------------------------------------
 
 
-def random_mask(key, height: int, width: int, cfg: MaskConfig):
-    """One mask per the config's `kind` (center | freeform | mixed)."""
+def random_mask(key, height: int, width: int, cfg: MaskConfig,
+                progress=1.0):
+    """One mask per the config's `kind` (center | freeform | mixed).
+
+    ``progress`` in [0, 1] drives the mask curriculum (BASELINE.json:10
+    "mixed-mask curriculum"): hole difficulty ramps from
+    ``curriculum_start_scale`` of full size/width up to 100%. Traceable —
+    the train loop passes ``step / curriculum_steps`` as a traced scalar.
+    With progress=1.0 (the default and the curriculum-off case) masks are
+    exactly the non-curriculum ones.
+    """
     if cfg.kind == "center":
-        return center_mask(key, height, width, cfg.center_frac,
-                           cfg.center_jitter)
+        return _center_curriculum(key, height, width, cfg, progress)
     if cfg.kind == "freeform":
-        return freeform_mask(key, height, width, cfg)
+        return freeform_mask(key, height, width, cfg, progress)
     if cfg.kind == "mixed":
         k_choice, k_c, k_f = jax.random.split(key, 3)
         use_ff = jax.random.bernoulli(k_choice, cfg.freeform_prob)
-        cm = center_mask(k_c, height, width, cfg.center_frac,
-                         cfg.center_jitter)
-        fm = freeform_mask(k_f, height, width, cfg)
+        cm = _center_curriculum(k_c, height, width, cfg, progress)
+        fm = freeform_mask(k_f, height, width, cfg, progress)
         return jnp.where(use_ff, fm, cm)
     raise ValueError(f"unknown mask kind {cfg.kind!r}")
+
+
+def _difficulty(cfg: MaskConfig, progress):
+    scale = cfg.curriculum_start_scale
+    return jnp.clip(scale + (1.0 - scale) * progress, scale, 1.0)
+
+
+def _center_curriculum(key, height: int, width: int, cfg: MaskConfig,
+                       progress):
+    if isinstance(progress, (int, float)) and progress >= 1.0:
+        return center_mask(key, height, width, cfg.center_frac,
+                           cfg.center_jitter)
+    # traced progress: shrink the hole around its center (static shapes —
+    # the rectangle test is elementwise, only its bounds move)
+    frac = cfg.center_frac * _difficulty(cfg, progress)
+    hole_h = height * frac
+    hole_w = width * frac
+    ys, xs = _pixel_grid(height, width)
+    if cfg.center_jitter:
+        ky, kx = jax.random.split(key)
+        y0 = jax.random.uniform(ky) * (height - hole_h)
+        x0 = jax.random.uniform(kx) * (width - hole_w)
+    else:
+        y0 = (height - hole_h) * 0.5
+        x0 = (width - hole_w) * 0.5
+    inside = ((ys >= y0) & (ys < y0 + hole_h) &
+              (xs >= x0) & (xs < x0 + hole_w))
+    return inside.astype(jnp.float32)[..., None]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

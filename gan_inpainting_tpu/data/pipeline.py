@@ -44,15 +44,23 @@ def denormalize(images):
 
 
 @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
-def _make_batch_impl(images_u8, key, mask_cfg: MaskConfig) -> Batch:
+def _make_batch_impl(images_u8, key, mask_cfg: MaskConfig,
+                     progress) -> Batch:
     b, h, w = images_u8.shape[:3]
     image = normalize(images_u8)
     keys = jax.random.split(key, b)
-    mask = jax.vmap(lambda k: random_mask(k, h, w, mask_cfg))(keys)
+    mask = jax.vmap(
+        lambda k: random_mask(k, h, w, mask_cfg, progress))(keys)
     masked = image * (1.0 - mask)
     return Batch(image=image, mask=mask, masked=masked)
 
 
-def make_train_batch(images_u8, key, mask_cfg: MaskConfig) -> Batch:
-    """Fuse normalize + mask synthesis + masking into one device program."""
-    return _make_batch_impl(jnp.asarray(images_u8), key, mask_cfg)
+def make_train_batch(images_u8, key, mask_cfg: MaskConfig,
+                     progress: float = 1.0) -> Batch:
+    """Fuse normalize + mask synthesis + masking into one device program.
+
+    ``progress`` in [0, 1] drives the mask curriculum (traced — no
+    recompile per step).
+    """
+    return _make_batch_impl(jnp.asarray(images_u8), key, mask_cfg,
+                            jnp.float32(progress))

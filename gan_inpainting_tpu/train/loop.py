@@ -50,11 +50,13 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
     t_last = time.perf_counter()
     steps_since_log = 0
 
+    cur_steps = cfg.mask.curriculum_steps
     with mesh:
         for step in range(start_step, cfg.train.steps):
             images = next(data)
+            progress = min(1.0, step / cur_steps) if cur_steps else 1.0
             batch = make_train_batch(
-                images, streams["masks"].at_step(step), cfg.mask)
+                images, streams["masks"].at_step(step), cfg.mask, progress)
             batch = shard_batch(mesh, batch)
             state, metrics = train_step(
                 state, batch, streams["train"].at_step(step))

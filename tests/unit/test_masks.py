@@ -72,3 +72,34 @@ def test_masks_traceable_under_jit():
     f = jax.jit(lambda k: freeform_mask(k, 32, 32, cfg))
     m = f(jax.random.key(0))
     assert m.shape == (32, 32, 1)
+
+
+def test_curriculum_ramps_difficulty():
+    cfg = MaskConfig(kind="mixed", freeform_prob=0.5, curriculum_steps=100,
+                     curriculum_start_scale=0.4, center_frac=0.5)
+    from gan_inpainting_tpu.data.masks import random_mask
+
+    def area(progress, kind):
+        c = MaskConfig(kind=kind, curriculum_steps=100,
+                       curriculum_start_scale=0.4, center_frac=0.5)
+        ms = [random_mask(jax.random.key(s), 64, 64, c, progress)
+              for s in range(4)]
+        return float(jnp.stack(ms).mean())
+
+    for kind in ("center", "freeform"):
+        early, late = area(0.0, kind), area(1.0, kind)
+        assert early < late, (kind, early, late)
+
+    # progress=1.0 must reproduce the non-curriculum mask exactly
+    base = random_mask(jax.random.key(0), 64, 64,
+                       MaskConfig(kind="freeform"))
+    curr = random_mask(jax.random.key(0), 64, 64,
+                       MaskConfig(kind="freeform"), 1.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(curr))
+
+
+def test_curriculum_traceable_progress():
+    cfg = MaskConfig(kind="mixed", curriculum_steps=10)
+    f = jax.jit(lambda k, p: freeform_mask(k, 32, 32, cfg, p))
+    m = f(jax.random.key(0), jnp.float32(0.3))
+    assert m.shape == (32, 32, 1)

@@ -301,6 +301,17 @@ DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 
 
+def _default_blocks(lq: int, lk: int, d: int, dv: int) -> tuple[int, int]:
+    """K/V stream once per q-tile, so bigger q blocks cut HBM traffic
+    proportionally; the f32 accumulator (block_q × dv) caps the growth."""
+    block_q = DEFAULT_BLOCK_Q
+    for cand in (512, 256):
+        if cand * dv * 4 + cand * max(d, 128) * 4 <= 6 * 1024 * 1024:
+            block_q = cand
+            break
+    return block_q, DEFAULT_BLOCK_K
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _attend(q, k, bias, v, scale, block_q, block_k):
     out, _ = _fwd_call(q, k, bias, v, scale=scale, block_q=block_q,
@@ -325,8 +336,8 @@ _attend.defvjp(_attend_fwd, _attend_bwd)
 
 
 def patch_attention_pallas(q, k, key_valid, v, *, softmax_scale: float,
-                           block_q: int = DEFAULT_BLOCK_Q,
-                           block_k: int = DEFAULT_BLOCK_K,
+                           block_q: int | None = None,
+                           block_k: int | None = None,
                            interpret: bool = False):
     """Blockwise patch attention.
 
@@ -342,6 +353,9 @@ def patch_attention_pallas(q, k, key_valid, v, *, softmax_scale: float,
     del interpret  # interpreter mode flows through force_tpu_interpret_mode
     b, lq, d = q.shape
     _, lk, dv = v.shape
+    auto_q, auto_k = _default_blocks(lq, lk, d, dv)
+    block_q = block_q or auto_q
+    block_k = block_k or auto_k
     bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)
 
     qp = _pad_to(q, block_q, axis=1)

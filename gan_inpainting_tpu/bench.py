@@ -77,7 +77,7 @@ def bench_infer(cfg: Config, *, batch: int = 32, iters: int = 10,
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), (images, masks))
         return acc
 
-    with mesh:
+    with jax.set_mesh(mesh):
         images, masks = make_pool(jax.random.key(7))
         jax.block_until_ready(masks)
         for i in range(warmup):
@@ -114,7 +114,7 @@ def bench_train(cfg: Config, *, iters: int = 10, warmup: int = 2) -> dict:
         batch = shard_batch(mesh, batch)
         return train_step(state, batch, streams["train"].at_step(step))
 
-    with mesh:
+    with jax.set_mesh(mesh):
         for i in range(warmup):
             state, metrics = one(i, state)
         float(metrics["d_loss"])  # forced readback: drain the queue

@@ -82,6 +82,9 @@ class ModelConfig:
     dtype_policy: str = "bf16"    # bf16 | f32
     # kernel dispatch: pallas | xla | auto (pallas on TPU, xla elsewhere)
     kernel_backend: str = "auto"
+    # tensor parallelism: shard activation channels over the mesh's model
+    # axis (requires running under jax.set_mesh(mesh); no-op when model=1)
+    tp_shard: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,6 +50,7 @@ class _Stack(nn.Module):
     backend: str
     compute_dtype: Dtype
     param_dtype: Dtype
+    tp_shard: bool = False
 
     @nn.compact
     def __call__(self, x, valid=None):
@@ -66,6 +67,15 @@ class _Stack(nn.Module):
                 param_dtype=self.param_dtype,
                 name=f"conv{i}",
                 **spec)(x, valid)
+            if self.tp_shard and x.shape[-1] % 8 == 0:
+                # tensor parallelism: activation channels sharded over the
+                # mesh's model axis (SURVEY.md §2b). Requires an ambient
+                # mesh (`jax.set_mesh(mesh)`), which the train loop, dryrun, and
+                # sharded serving all establish. No-op on a model=1 mesh.
+                from gan_inpainting_tpu.parallel.sharding import (
+                    shard_channels,
+                )
+                x = shard_channels(x)
         return x, valid
 
 
@@ -105,6 +115,7 @@ class DilatedGenerator(nn.Module):
     backend: str = "auto"
     compute_dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    tp_shard: bool = False
 
     @nn.compact
     def __call__(self, masked, mask) -> GeneratorOutput:
@@ -114,7 +125,7 @@ class DilatedGenerator(nn.Module):
         specs = _encoder_specs(f) + _dilation_specs(f) + _decoder_specs(f)
         x, _ = _Stack(specs, self.conv_kind, self.backend,
                       self.compute_dtype, self.param_dtype,
-                      name="body")(x, valid)
+                      tp_shard=self.tp_shard, name="body")(x, valid)
         out = jnp.tanh(x.astype(jnp.float32))
         return GeneratorOutput(coarse=None, fine=out)
 
@@ -131,10 +142,12 @@ class CoarseToFineGenerator(nn.Module):
     backend: str = "auto"
     compute_dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    tp_shard: bool = False
 
     def _stack(self, specs, name):
         return _Stack(specs, self.conv_kind, self.backend,
-                      self.compute_dtype, self.param_dtype, name=name)
+                      self.compute_dtype, self.param_dtype,
+                      tp_shard=self.tp_shard, name=name)
 
     @nn.compact
     def __call__(self, masked, mask) -> GeneratorOutput:
@@ -198,6 +211,7 @@ def build_generator(model_cfg, backend: str | None = None) -> nn.Module:
         backend=backend,
         compute_dtype=policy.compute_dtype,
         param_dtype=policy.param_dtype,
+        tp_shard=model_cfg.tp_shard,
     )
     if model_cfg.generator == "dilated":
         return DilatedGenerator(**common)

@@ -65,11 +65,19 @@ def shard_batch(mesh: Mesh, tree):
 
 
 def shard_channels(x, mesh: Mesh | None = None):
-    """Constrain an NHWC activation to (data, -, -, model) inside jit."""
+    """Constrain an NHWC activation to (data, -, -, model) inside jit.
+
+    No-ops when no mesh is in context (e.g. flax init outside
+    ``jax.set_mesh``) — the constraint is a performance annotation, never a
+    correctness requirement.
+    """
     spec = DEFAULT_RULES.activation
     if mesh is not None:
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
-    return jax.lax.with_sharding_constraint(x, spec)
+    try:
+        return jax.lax.with_sharding_constraint(x, spec)
+    except (RuntimeError, ValueError):
+        return x
 
 
 def constrain(x, spec: P):

@@ -51,7 +51,7 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
     steps_since_log = 0
 
     cur_steps = cfg.mask.curriculum_steps
-    with mesh:
+    with jax.set_mesh(mesh):
         for step in range(start_step, cfg.train.steps):
             images = next(data)
             progress = min(1.0, step / cur_steps) if cur_steps else 1.0

@@ -25,7 +25,7 @@ def _run_steps(cfg, mesh, n=2):
     state = create_state(cfg, jax.random.key(0))
     state = jax.device_put(state, replicated(mesh))
     step = make_train_step(cfg, donate=False)
-    with mesh:
+    with jax.set_mesh(mesh):
         for i in range(n):
             batch = shard_batch(mesh, _batch(cfg, i))
             state, metrics = step(state, batch, jax.random.key(i))
@@ -91,3 +91,21 @@ def test_sharded_inference_parity(tiny_config, eight_devices):
         imgs, masks)
     # uint8 outputs: allow off-by-one from reduction-order differences
     assert np.abs(out1.astype(int) - out8.astype(int)).max() <= 1
+
+
+def test_tensor_parallel_channel_sharding_parity(tiny_config, eight_devices):
+    """Real TP: channel shardings over the model axis preserve the math."""
+    cfg = apply_overrides(tiny_config, ["data.batch_size=8",
+                                        "model.tp_shard=true"])
+    mesh1 = build_mesh(MeshConfig(data=1, model=1),
+                       devices=eight_devices[:1])
+    mesh42 = build_mesh(MeshConfig(data=4, model=2), devices=eight_devices)
+
+    s1, m1 = _run_steps(cfg, mesh1, n=2)
+    s42, m42 = _run_steps(cfg, mesh42, n=2)
+
+    np.testing.assert_allclose(m1["g_loss"], m42["g_loss"], rtol=5e-4)
+    np.testing.assert_allclose(m1["d_loss"], m42["d_loss"], rtol=5e-4)
+    for a, b in zip(jax.tree.leaves(s1.g_params),
+                    jax.tree.leaves(s42.g_params)):
+        np.testing.assert_allclose(a, b, atol=5e-4)

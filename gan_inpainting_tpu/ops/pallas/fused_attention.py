@@ -240,11 +240,13 @@ def _slab_kr(hs: int, ws: int, c: int, rate: int, qr: int) -> int | None:
 
 
 # The slab strategy passes interpreter-mode equivalence and ran standalone
-# on v5e (14.9 ms at 512² — 23% faster than the streaming flash kernel),
-# but crashed the TPU worker when composed into the full contextual
-# attention program. Until that fault is root-caused it is opt-in only
-# (strategy="slab" below); auto dispatch uses resident-fused or falls back
-# to the streaming flash kernel.
+# on v5e (14.9 ms at 512² — 23% faster than the streaming flash kernel).
+# Composed into the full contextual-attention program it computes CORRECTLY
+# on the first execution, then hard-crashes the TPU worker on re-execution —
+# a state-dependent runtime fault (buffer-reuse/donation interaction, not a
+# math or indexing bug; isolated repro in this file's history). Until
+# root-caused it is opt-in only; auto dispatch uses resident-fused or falls
+# back to the streaming flash kernel.
 _ENABLE_SLAB_AUTO = False
 
 

@@ -239,14 +239,15 @@ def _slab_kr(hs: int, ws: int, c: int, rate: int, qr: int) -> int | None:
     return None
 
 
-# The slab strategy passes interpreter-mode equivalence and ran standalone
-# on v5e (14.9 ms at 512² — 23% faster than the streaming flash kernel).
-# Composed into the full contextual-attention program it computes CORRECTLY
-# on the first execution, then hard-crashes the TPU worker on re-execution —
-# a state-dependent runtime fault (buffer-reuse/donation interaction, not a
-# math or indexing bug; isolated repro in this file's history). Until
-# root-caused it is opt-in only; auto dispatch uses resident-fused or falls
-# back to the streaming flash kernel.
+# The slab strategy passes interpreter-mode equivalence tests and has
+# produced correct values on v5e (14.9 ms at 512² — 23% faster than the
+# streaming flash kernel), but crashes the TPU worker NONDETERMINISTICALLY
+# (observed: a 10-iteration scan succeeding; a second jit execution
+# crashing; a first execution crashing). Interpreter semantics are correct,
+# so this is a Mosaic/runtime-level fault (suspect: the overlapping slab
+# block windows interacting with pipelining). Opt-in only until
+# root-caused; auto dispatch uses resident-fused maps or falls back to the
+# streaming flash kernel — both stable across thousands of executions.
 _ENABLE_SLAB_AUTO = False
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from gan_inpainting_tpu.configs.base import Config
 from gan_inpainting_tpu.data.masks import random_mask
 from gan_inpainting_tpu.data.pipeline import make_train_batch
-from gan_inpainting_tpu.data.synthetic import synthetic_batch, synthetic_batch_u8
+from gan_inpainting_tpu.data.synthetic import synthetic_batch_u8
 from gan_inpainting_tpu.models.generator import build_generator
 from gan_inpainting_tpu.parallel.mesh import build_mesh
 from gan_inpainting_tpu.parallel.sharding import replicated, shard_batch
@@ -29,7 +29,9 @@ from gan_inpainting_tpu.utils.rng import make_streams
 
 def bench_infer(cfg: Config, *, batch: int = 32, iters: int = 10,
                 warmup: int = 2) -> dict:
-    """End-to-end inpaint throughput: preprocess + generator + composite.
+    """End-to-end inpaint throughput: normalize + generator + composite +
+    denormalize — the full per-request device work of the serving path
+    (infer/inpaint.py's compiled forward), timed on uint8 inputs.
 
     Methodology notes (hard-won on this dev box's remote-TPU tunnel):
     * inputs are generated ON DEVICE and vary per iteration — the remote
@@ -41,6 +43,8 @@ def bench_infer(cfg: Config, *, batch: int = 32, iters: int = 10,
     * no host→device image transfer is included: on this box H2D rides an
       HTTP loopback relay (~8 MB/s) that no production deployment has.
     """
+    from gan_inpainting_tpu.data.pipeline import denormalize, normalize
+
     size = cfg.data.image_size
     mesh = build_mesh(cfg.train.mesh)
     state = create_state(cfg, jax.random.key(0))
@@ -48,18 +52,18 @@ def bench_infer(cfg: Config, *, batch: int = 32, iters: int = 10,
     g_params = jax.device_put(state.g_params, replicated(mesh))
     mask_cfg = cfg.mask
 
-    # Pre-stage a pool of distinct (image, mask) batches on device: serving
-    # receives images+masks as inputs, so their synthesis is not part of the
-    # measured work — but every iteration must see different data (see the
-    # dedupe note above).
+    # Pre-stage a pool of distinct (image, mask) batches on device, in the
+    # uint8/float32 forms a serving request arrives in: image+mask synthesis
+    # is not part of the measured work (serving receives them as inputs) —
+    # but every iteration must see different data (see the dedupe note).
     @functools.partial(jax.jit, static_argnums=())
     def make_pool(key):
         def one_batch(k):
-            image = synthetic_batch(k, batch, size).astype(jnp.bfloat16)
+            image = synthetic_batch_u8(k, batch, size)
             keys = jax.random.split(jax.random.fold_in(k, 1), batch)
             mask = jax.vmap(
                 lambda kk: random_mask(kk, size, size, mask_cfg))(keys)
-            return image, mask.astype(jnp.bfloat16)
+            return image, mask
         return jax.vmap(one_batch)(jax.random.split(key, iters))
 
     @jax.jit
@@ -68,11 +72,14 @@ def bench_infer(cfg: Config, *, batch: int = 32, iters: int = 10,
         # dispatch + readback per measurement, so host/tunnel latency is
         # excluded while the batches still run sequentially on device
         def body(acc, im):
-            image, mask = im
+            image_u8, mask = im
+            # full serving request body (mirrors Inpainter._build_forward)
+            image = normalize(image_u8).astype(jnp.bfloat16)
+            mask16 = mask.astype(jnp.bfloat16)
             out = generator.apply({"params": params},
-                                  image * (1 - mask), mask)
-            comp = (out.fine.astype(jnp.bfloat16) * mask
-                    + image * (1 - mask))
+                                  image * (1 - mask16), mask16)
+            out_u8 = denormalize(out.fine.astype(jnp.float32))
+            comp = jnp.where(mask <= 0.0, image_u8, out_u8)
             return acc + jnp.sum(comp.astype(jnp.float32)), None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), (images, masks))
         return acc

@@ -48,6 +48,17 @@ def main(argv=None) -> int:
     _add_common(p_prof)
     p_prof.add_argument("--steps", type=int, default=5)
 
+    p_par = sub.add_parser(
+        "parity", help="pinned PSNR/SSIM fingerprint across named configs "
+        "(the BASELINE.json:5 quality-parity harness)")
+    p_par.add_argument("--configs", nargs="*", default=None)
+    p_par.add_argument("--max-image-size", type=int, default=None,
+                       help="cap image size (CPU runs of 512² configs)")
+    p_par.add_argument("--update", action="store_true",
+                       help="rewrite the pinned file with these results")
+    p_par.add_argument("--pinned", default=None,
+                       help="pinned-metrics file (default: repo root)")
+
     sub.add_parser("configs", help="list named configs")
 
     args = parser.parse_args(argv)
@@ -55,6 +66,33 @@ def main(argv=None) -> int:
     if args.cmd == "configs":
         print("\n".join(list_configs()))
         return 0
+
+    if args.cmd == "parity":
+        import pathlib
+
+        from gan_inpainting_tpu.train.parity import (
+            PINNED_PATH,
+            check_parity,
+            run_parity,
+        )
+
+        pinned = pathlib.Path(args.pinned) if args.pinned else PINNED_PATH
+        results = run_parity(args.configs, args.max_image_size)
+        print(json.dumps(results, indent=2))
+        if args.update:
+            import jax
+
+            existing = (json.loads(pinned.read_text())
+                        if pinned.exists() else {})
+            platform = jax.default_backend()
+            existing.setdefault(platform, {}).update(results)
+            pinned.write_text(json.dumps(existing, indent=2) + "\n")
+            print(f"pinned[{platform}] -> {pinned}")
+            return 0
+        problems = check_parity(results, pinned)
+        for p in problems:
+            print(f"DRIFT: {p}", file=sys.stderr)
+        return 1 if problems else 0
 
     cfg = apply_overrides(get_config(args.config), args.overrides)
 

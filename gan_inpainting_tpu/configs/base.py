@@ -62,8 +62,9 @@ class DataConfig:
     batch_size: int = 16          # global batch (split over the data axis)
     eval_batch_size: int = 16
     num_eval_batches: int = 4
-    shuffle_buffer: int = 256
     synthetic_size: int = 512     # virtual dataset length for synthetic
+    loader_threads: int = 2       # decoder threads for dataset=folder
+    prefetch_batches: int = 4     # decoded-batch prefetch queue depth
 
 
 @dataclasses.dataclass(frozen=True)

@@ -36,9 +36,13 @@ _IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
 def _synthetic_iter(cfg: DataConfig, seed: int, batch_size: int
                     ) -> Iterator[np.ndarray]:
     key = jax.random.key(seed)
+    # synthetic_size is the virtual dataset length: after that many distinct
+    # images the key stream wraps, so training sees repeated "epochs" exactly
+    # like a finite folder dataset would
+    batches_per_epoch = max(cfg.synthetic_size // batch_size, 1)
     step = 0
     while True:
-        k = jax.random.fold_in(key, step)
+        k = jax.random.fold_in(key, step % batches_per_epoch)
         yield synthetic_batch_u8(k, batch_size, cfg.image_size)
         step += 1
 
@@ -83,20 +87,32 @@ def _folder_iter(cfg: DataConfig, seed: int, batch_size: int,
     files = [p for i, p in enumerate(files)
              if (i % 20 == 0) == (split == "eval")]
     rng = np.random.default_rng(seed)
+    n_threads = max(int(cfg.loader_threads), 1)
 
-    def producer(out_q: queue.Queue):
+    # one index producer feeds batch index lists; loader_threads decoder
+    # workers decode in parallel (PIL/native decode releases the GIL in
+    # the C layers). Each epoch is a full permutation; with >1 decoder the
+    # within-epoch batch ORDER is nondeterministic but the batch SET per
+    # epoch is exact.
+    idx_q: queue.Queue = queue.Queue(maxsize=2 * n_threads)
+    out_q: queue.Queue = queue.Queue(maxsize=cfg.prefetch_batches)
+
+    def index_producer():
         while True:
             idx = rng.permutation(len(files))
             for start in range(0, len(idx) - batch_size + 1, batch_size):
-                batch = _load_batch(
-                    [files[i] for i in idx[start:start + batch_size]],
-                    cfg.image_size)
-                out_q.put(batch)
+                idx_q.put(idx[start:start + batch_size])
 
-    q: queue.Queue = queue.Queue(maxsize=4)  # prefetch depth
-    threading.Thread(target=producer, args=(q,), daemon=True).start()
+    def decoder():
+        while True:
+            ids = idx_q.get()
+            out_q.put(_load_batch([files[i] for i in ids], cfg.image_size))
+
+    threading.Thread(target=index_producer, daemon=True).start()
+    for _ in range(n_threads):
+        threading.Thread(target=decoder, daemon=True).start()
     while True:
-        yield q.get()
+        yield out_q.get()
 
 
 def make_dataset(cfg: DataConfig, seed: int = 0, split: str = "train",

@@ -78,11 +78,16 @@ class Inpainter:
             return jnp.where(keep, images_u8, out_u8)
 
         sharding = batch_sharding(self.mesh)
+        # donating the input image buffer lets XLA reuse it for the
+        # (same-shape, same-dtype) uint8 output — one less HBM allocation
+        # per request at the largest bucket
+        donate = (1,) if self.cfg.infer.donate_input else ()
         return jax.jit(
             fwd,
             in_shardings=(replicated(self.mesh), sharding,
                           batch_sharding(self.mesh)),
             out_shardings=sharding,
+            donate_argnums=donate,
         )
 
     # ------------------------------------------------------------------
@@ -97,22 +102,21 @@ class Inpainter:
             raise ValueError(
                 f"mask shape {masks.shape[:3]} does not match images "
                 f"{(b, h, w)}")
-        if h != w:
-            raise ValueError("non-square inputs are not supported yet; "
-                             "pad to square before calling")
         icfg: InferConfig = self.cfg.infer
         bb = _bucket(b, icfg.batch_buckets)
         # the batch dim is sharded over the mesh's data axis — round the
         # bucket up so every shard is non-empty
         n_data = self.mesh.shape["data"]
         bb = -(-bb // n_data) * n_data
-        sb = _bucket(h, icfg.size_buckets)
-        if sb != h:
-            pad = sb - h
-            images_u8 = np.pad(images_u8, ((0, 0), (0, pad), (0, pad), (0, 0)))
+        # non-square inputs pad H and W independently up to the square
+        # bucket of the larger side; the crop below removes the padding
+        sb = _bucket(max(h, w), icfg.size_buckets)
+        if sb != h or sb != w:
             # padded area is "known" (mask 0) so the generator treats it as
             # context and the crop below removes it
-            masks = np.pad(masks, ((0, 0), (0, pad), (0, pad), (0, 0)))
+            widths = ((0, 0), (0, sb - h), (0, sb - w), (0, 0))
+            images_u8 = np.pad(images_u8, widths)
+            masks = np.pad(masks, widths)
         if bb != b:
             reps = ((0, bb - b),) + ((0, 0),) * 3
             images_u8 = np.pad(images_u8, reps)

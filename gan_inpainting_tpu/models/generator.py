@@ -177,8 +177,12 @@ class CoarseToFineGenerator(nn.Module):
                 dict(features=4 * f, activation="relu"),
             ]
             xa, _ = self._stack(attn_specs, "refine_attn_enc")(x2, valid)
-            # hole mask at the attention branch's 1/4 resolution
-            mask_q = mask[:, ::4, ::4, :]
+            # hole mask at the attention branch's 1/4 resolution —
+            # conservative max-pool so thin strokes can't vanish
+            from gan_inpainting_tpu.ops.contextual_attention import (
+                downscale_mask_max,
+            )
+            mask_q = downscale_mask_max(mask, 4)
             xa = contextual_attention(
                 xa, xa, mask_q,
                 ksize=self.attention_ksize,

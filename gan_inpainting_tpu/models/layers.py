@@ -118,13 +118,15 @@ class SNConv(nn.Module):
                     else jax.random.key(0),
                     (self.features,), jnp.float32))
             u = u_var.value
-            v = _l2_normalize(w @ u)
-            u_new = _l2_normalize(w.T @ v)
+            # Miyato et al.: gradients stop through the power-iteration
+            # vectors u/v only; sigma = v^T W u stays differentiable in W,
+            # contributing the -W·(v u^T)/sigma² term to D's gradient.
+            v = jax.lax.stop_gradient(_l2_normalize(w @ u))
+            u_new = jax.lax.stop_gradient(_l2_normalize(w.T @ v))
             sigma = jnp.einsum("i,ij,j->", v, w, u_new)
             if update_stats and not self.is_initializing():
-                u_var.value = jax.lax.stop_gradient(u_new)
-            kernel = kernel / jax.lax.stop_gradient(sigma).astype(
-                kernel.dtype)
+                u_var.value = u_new
+            kernel = kernel / sigma.astype(kernel.dtype)
 
         x = x.astype(self.compute_dtype)
         y = conv2d(x, kernel.astype(self.compute_dtype), stride=self.stride)

@@ -40,6 +40,25 @@ def _downscale(x, rate: int):
     return x[:, ::rate, ::rate, :]
 
 
+def downscale_mask_max(mask, rate: int):
+    """Conservative hole-mask downscale: max over each rate×rate window.
+
+    Strided slicing can miss thin free-form strokes entirely, letting keys
+    that overlap the hole pass the validity test (contextual attention would
+    then copy generated hole content as if it were known background). A
+    window max marks a low-res cell as hole if ANY covered pixel is hole.
+    """
+    if rate == 1:
+        return mask
+    return jax.lax.reduce_window(
+        mask, -jnp.inf if jnp.issubdtype(mask.dtype, jnp.floating)
+        else jnp.iinfo(mask.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, rate, rate, 1),
+        window_strides=(1, rate, rate, 1),
+        padding="VALID")
+
+
 def _attention_inputs(f, b, hole_mask, ksize: int, rate: int):
     """Shared front-end: build Q, K(normalized), key-validity, V."""
     bsz, h, w, c = f.shape
@@ -69,8 +88,8 @@ def _attention_inputs(f, b, hole_mask, ksize: int, rate: int):
     k = (k_raw / jnp.maximum(knorm, 1e-4).astype(k_raw.dtype))
 
     # key j is valid iff its ksize-window contains no hole pixel: a window
-    # max over the downscaled hole map (reduce_window, not patch extraction)
-    hole_s = _downscale(hole_mask, rate).astype(jnp.float32)
+    # max over the (conservatively max-pooled) downscaled hole map
+    hole_s = downscale_mask_max(hole_mask.astype(jnp.float32), rate)
     pad = [(0, 0),
            ((ksize - 1) // 2, ksize // 2),
            ((ksize - 1) // 2, ksize // 2),

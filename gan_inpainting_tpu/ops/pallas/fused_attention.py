@@ -180,7 +180,9 @@ def _prepare(b_feat, hole_mask, ksize: int, rate: int):
         subs.append(jnp.stack(row, axis=1))
     s2d_pad = jnp.stack(subs, axis=1)  # (B, r, r, Hs+2, Ws+2, C)
 
-    hole_s = hole_mask[:, ::rate, ::rate, :].astype(jnp.float32)
+    from gan_inpainting_tpu.ops.contextual_attention import downscale_mask_max
+
+    hole_s = downscale_mask_max(hole_mask.astype(jnp.float32), rate)
     pad = [(0, 0), ((ksize - 1) // 2, ksize // 2),
            ((ksize - 1) // 2, ksize // 2), (0, 0)]
     hole_max = jax.lax.reduce_window(
@@ -326,18 +328,26 @@ def _fused_attention_fwd(b_feat, hole_mask, ksize, rate, scale, blocks):
 
 
 def _fused_attention_bwd(ksize, rate, scale, blocks, res, g):
+    """Backward: rebuild Q/K/V with the XLA patch front-end, then run the
+    STREAMING flash backward kernels (patch_attention.py) through their
+    custom VJP — the dense (Lq, Lk) score matrix never materializes.
+
+    The Q/K/V patch tensors themselves still materialize here (they are the
+    front-end's output); killing those too requires in-kernel dQ/dK/dV tile
+    reconstruction from the parity maps — VERDICT r1 #3's full form, staged
+    behind this change.
+    """
     del blocks
-    """Recompute via the materialized XLA front-end + dense attention."""
-    from gan_inpainting_tpu.ops.contextual_attention import (
-        _attention_inputs,
-        _patch_attention_xla,
+    from gan_inpainting_tpu.ops.contextual_attention import _attention_inputs
+    from gan_inpainting_tpu.ops.pallas.patch_attention import (
+        patch_attention_pallas,
     )
 
     b_feat, hole_mask = res
 
     def ref(bf):
         q, k, valid, v, _ = _attention_inputs(bf, bf, hole_mask, ksize, rate)
-        return _patch_attention_xla(q, k, valid, v, scale)
+        return patch_attention_pallas(q, k, valid, v, softmax_scale=scale)
 
     _, vjp = jax.vjp(ref, b_feat)
     (dbf,) = vjp(g)

@@ -99,10 +99,14 @@ def _fwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l = l_scr[:, :1]
         inv = jnp.where(l > 0.0, 1.0 / jnp.maximum(l, 1e-30), 0.0)
         o_ref[0] = (acc_scr[:] * inv).astype(o_ref.dtype)
-        # logsumexp for the backward pass; all-invalid rows get -inf-ish
+        # logsumexp for the backward pass. All-invalid rows emit lse = 0.0,
+        # NOT _INIT_M: the bwd kernels compute p = exp(s - lse), and
+        # s ≈ NEG_INF for every invalid key, so lse = 0 gives p = 0 and
+        # exactly-zero gradients (matching the XLA path), whereas
+        # lse = -1e30 gives p = exp(+1e30) = inf → NaN poisoning dq/dk/dv.
         lse = jnp.where(l > 0.0,
                         m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30)),
-                        _INIT_M)
+                        0.0)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 

@@ -20,36 +20,63 @@ from gan_inpainting_tpu.models.generator import build_generator
 from gan_inpainting_tpu.train.step import composite
 
 
+_METRIC_FNS = {"psnr": psnr, "ssim": ssim}
+
+
 def make_eval_step(cfg: Config):
     generator = build_generator(cfg.model)
+    names = tuple(cfg.eval.metrics)
+    unknown = [n for n in names if n not in _METRIC_FNS]
+    if unknown:
+        raise ValueError(f"unknown eval metrics {unknown}; "
+                         f"have {sorted(_METRIC_FNS)}")
 
     @jax.jit
     def eval_step(g_params, batch: Batch):
         out = generator.apply({"params": g_params}, batch.masked, batch.mask)
         comp = composite(out.fine, batch.image, batch.mask)
         comp = comp.astype(jnp.float32)
-        return {
-            "psnr": psnr(comp, batch.image),
-            "ssim": ssim(comp, batch.image),
-        }
+        # reduce to replicated scalars INSIDE the jit: on a multi-host mesh
+        # the per-image vector is not host-addressable, a replicated sum is
+        return {n: jnp.sum(_METRIC_FNS[n](comp, batch.image)) for n in names}
 
     return eval_step
 
 
 def evaluate(cfg: Config, g_params, seed: int = 0,
              eval_step=None) -> dict[str, float]:
-    """Mean PSNR/SSIM over cfg.data.num_eval_batches held-out batches."""
+    """Mean PSNR/SSIM over cfg.data.num_eval_batches held-out batches.
+
+    Multi-host: each process feeds its slice of every eval batch from a
+    disjoint stream and the metric sums reduce inside the jit, so the means
+    cover (num_eval_batches × eval_batch_size) images globally.
+    """
+    from gan_inpainting_tpu.parallel.mesh import build_mesh
+    from gan_inpainting_tpu.parallel.multihost import (
+        process_batch_slice,
+        shard_host_batch,
+    )
+
     if eval_step is None:
         eval_step = make_eval_step(cfg)
-    it = make_dataset(cfg.data, seed=cfg.train.seed, split="eval")
+    local_bs, seed_off = process_batch_slice(cfg.data.eval_batch_size)
+    it = make_dataset(cfg.data, seed=cfg.train.seed + seed_off, split="eval",
+                      batch_size=local_bs)
+    multi = jax.process_count() > 1
+    mesh = build_mesh(cfg.train.mesh) if multi else None
     key = jax.random.key(seed + 777)
     sums: dict[str, float] = {}
     count = 0
     for i in range(cfg.data.num_eval_batches):
         images = next(it)
-        batch = make_train_batch(images, jax.random.fold_in(key, i), cfg.mask)
-        per_image = eval_step(g_params, batch)
-        for name, values in per_image.items():
-            sums[name] = sums.get(name, 0.0) + float(jnp.sum(values))
-        count += int(values.shape[0])
+        mask_key = jax.random.fold_in(key, i)
+        if multi:
+            mask_key = jax.random.fold_in(mask_key, jax.process_index())
+        batch = make_train_batch(images, mask_key, cfg.mask)
+        if multi:
+            batch = shard_host_batch(mesh, jax.device_get(batch))
+        per_batch = eval_step(g_params, batch)
+        for name, value in per_batch.items():
+            sums[name] = sums.get(name, 0.0) + float(value)
+        count += cfg.data.eval_batch_size
     return {name: total / count for name, total in sums.items()}

@@ -28,6 +28,19 @@ from gan_inpainting_tpu.utils.rng import make_streams
 
 def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
     """Run cfg.train.steps of GAN training; returns (state, last_metrics)."""
+    from gan_inpainting_tpu.parallel.multihost import (
+        ensure_initialized,
+        process_batch_slice,
+        shard_host_batch,
+    )
+
+    n_proc = ensure_initialized(verbose=verbose)
+    # each process feeds its slice of the global batch from a disjoint
+    # data stream; with one process this is the whole batch, seed untouched
+    local_batch, seed_offset = process_batch_slice(cfg.data.batch_size)
+    is_main = jax.process_index() == 0
+    verbose = verbose and is_main
+
     mesh = build_mesh(cfg.train.mesh)
     streams = make_streams(cfg.train.seed)
 
@@ -40,10 +53,11 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
         if verbose:
             print(f"[train] resumed from step {int(state.step)}")
 
-    writer = MetricsWriter(cfg.train.workdir)
+    writer = MetricsWriter(cfg.train.workdir) if is_main else None
     train_step = make_train_step(cfg)
     eval_step = make_eval_step(cfg)
-    data = make_dataset(cfg.data, seed=cfg.train.seed, split="train")
+    data = make_dataset(cfg.data, seed=cfg.train.seed + seed_offset,
+                        split="train", batch_size=local_batch)
 
     start_step = int(state.step)
     metrics = {}
@@ -55,9 +69,15 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
         for step in range(start_step, cfg.train.steps):
             images = next(data)
             progress = min(1.0, step / cur_steps) if cur_steps else 1.0
-            batch = make_train_batch(
-                images, streams["masks"].at_step(step), cfg.mask, progress)
-            batch = shard_batch(mesh, batch)
+            mask_key = streams["masks"].at_step(step)
+            if n_proc > 1:
+                # disjoint mask streams per process (images differ too)
+                mask_key = jax.random.fold_in(mask_key, jax.process_index())
+            batch = make_train_batch(images, mask_key, cfg.mask, progress)
+            if n_proc > 1:
+                batch = shard_host_batch(mesh, jax.device_get(batch))
+            else:
+                batch = shard_batch(mesh, batch)
             state, metrics = train_step(
                 state, batch, streams["train"].at_step(step))
             steps_since_log += 1
@@ -71,24 +91,30 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
                 scalars = {k: float(v) for k, v in metrics.items()}
                 scalars["steps_per_sec"] = sps
                 scalars["images_per_sec"] = sps * cfg.data.batch_size
-                writer.scalars(next_step, scalars)
+                if is_main:
+                    writer.scalars(next_step, scalars)
                 if verbose:
                     msg = " ".join(f"{k}={v:.4g}" for k, v in scalars.items())
                     print(f"[train] step {next_step}: {msg}")
 
             if next_step % cfg.train.eval_every == 0 or next_step == cfg.train.steps:
+                # all processes participate (SPMD over global arrays);
+                # only the main process writes
                 ev = evaluate(cfg, state.g_params, eval_step=eval_step)
-                writer.scalars(next_step, {f"eval_{k}": v
-                                           for k, v in ev.items()})
+                if is_main:
+                    writer.scalars(next_step, {f"eval_{k}": v
+                                               for k, v in ev.items()})
                 if verbose:
                     print(f"[train] eval@{next_step}: {ev}")
-                _dump_samples(cfg, state, writer, next_step, streams)
+                if n_proc == 1:
+                    _dump_samples(cfg, state, writer, next_step, streams)
 
             if next_step % cfg.train.checkpoint_every == 0 or next_step == cfg.train.steps:
                 ckpt.save(next_step, state, cfg)
 
     ckpt.wait()
-    writer.close()
+    if is_main:
+        writer.close()
     return state, metrics
 
 

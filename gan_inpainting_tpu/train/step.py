@@ -50,6 +50,15 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
 
     use_vgg = cfg.loss.perceptual_weight > 0 or cfg.loss.style_weight > 0
     if use_vgg:
+        if not cfg.loss.vgg_weights_path:
+            import warnings
+
+            warnings.warn(
+                "perceptual/style loss enabled but loss.vgg_weights_path is "
+                "empty: falling back to a fixed-seed randomly initialized "
+                "VGG (test-only behavior). Convert real weights with "
+                "tools/convert_vgg_weights.py and set the path for training.",
+                stacklevel=2)
         vgg_model, vgg_params = init_vgg(cfg.loss.vgg_weights_path)
 
         def vgg_apply(params, x):

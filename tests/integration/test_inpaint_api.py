@@ -72,3 +72,23 @@ def test_oversize_raises(inpainter):
     mask = np.zeros((128, 128), np.float32)
     with pytest.raises(ValueError, match="bucket"):
         inpainter(img, mask)
+
+
+def test_non_square_inputs_pad_and_crop(inpainter):
+    """Arbitrary photo aspect ratios: pad H/W independently to the square
+    bucket, crop back; known pixels stay bit-exact (VERDICT r1 missing #6)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (24, 40, 3), dtype=np.uint8)  # landscape
+    mask = np.zeros((24, 40), np.float32)
+    mask[6:18, 10:30] = 1.0
+    out = inpainter(img, mask)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    np.testing.assert_array_equal(out[mask == 0], img[mask == 0])
+    assert (out[mask == 1] != img[mask == 1]).any()
+
+    img_p = rng.integers(0, 255, (40, 24, 3), dtype=np.uint8)  # portrait
+    mask_p = np.zeros((40, 24), np.float32)
+    mask_p[10:30, 6:18] = 1.0
+    out_p = inpainter(img_p, mask_p)
+    assert out_p.shape == img_p.shape
+    np.testing.assert_array_equal(out_p[mask_p == 0], img_p[mask_p == 0])

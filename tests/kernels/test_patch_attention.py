@@ -74,6 +74,54 @@ def test_gradients_match_xla():
                                    err_msg=f"d{name} mismatch")
 
 
+def test_gradients_all_invalid_rows_zero_not_nan():
+    """ADVICE.md r1 (medium): all-invalid rows stored lse=-1e30, making the
+    backward compute p=exp(s-lse)=inf → NaN that poisoned every gradient.
+    The fix emits lse=0 for empty rows; gradients must be exactly 0."""
+    q, k, valid, v = _inputs(3, 1, 64, 64, 36, 48)
+    valid = jnp.zeros_like(valid)
+
+    def loss_pallas(q_, k_, v_):
+        y = patch_attention_pallas(q_, k_, valid, v_, softmax_scale=10.0,
+                                   block_q=64, block_k=64)
+        return jnp.sum(jnp.sin(y))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for name, g in zip("qkv", g_pal):
+        arr = np.asarray(g)
+        assert np.all(np.isfinite(arr)), f"d{name} has non-finite values"
+        np.testing.assert_allclose(arr, 0.0, atol=1e-6,
+                                   err_msg=f"d{name} should be exactly 0")
+
+
+def test_gradients_mixed_invalid_rows_match_xla():
+    """Rows with zero valid keys alongside normal rows: gradients must match
+    the XLA oracle (and stay finite) for both populations."""
+    q, k, valid, v = _inputs(4, 1, 128, 128, 36, 48)
+    # first 64 keys valid, rest invalid; queries all attend over same keys —
+    # to get per-ROW degeneracy we need per-query masks, which this op does
+    # not have (validity is per-key). All-invalid is the degenerate case.
+    valid = jnp.arange(128)[None, :] < 64
+
+    def loss_ref(q_, k_, v_):
+        y = _patch_attention_xla(q_, k_, valid, v_, 10.0)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_pallas(q_, k_, v_):
+        y = patch_attention_pallas(q_, k_, valid, v_, softmax_scale=10.0,
+                                   block_q=64, block_k=64)
+        return jnp.sum(jnp.sin(y))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
 def test_full_contextual_attention_pallas_vs_xla():
     """End-to-end contextual_attention with backend=pallas (interpreted)."""
     from gan_inpainting_tpu.ops.contextual_attention import (

@@ -117,3 +117,31 @@ def test_contextual_attention_shapes_and_grads():
     g = jax.grad(loss)(feats)
     assert g.shape == feats.shape
     assert bool(jnp.isfinite(g).all())
+
+
+def test_downscale_mask_max_catches_thin_strokes():
+    """ADVICE.md r1: strided-slice downsampling can miss 1-px strokes; the
+    conservative max-pool must mark every low-res cell the stroke touches."""
+    from gan_inpainting_tpu.ops.contextual_attention import downscale_mask_max
+
+    mask = jnp.zeros((1, 16, 16, 1), jnp.float32)
+    mask = mask.at[:, 1, :, :].set(1.0)  # 1-px horizontal stroke at row 1
+    # strided slicing [::4] samples rows 0,4,8,12 — misses the stroke
+    assert float(jnp.sum(mask[:, ::4, ::4, :])) == 0.0
+    down = downscale_mask_max(mask, 4)
+    assert down.shape == (1, 4, 4, 1)
+    # every cell in the first row band covers the stroke
+    np.testing.assert_allclose(np.asarray(down[:, 0, :, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(down[:, 1:, :, :]), 0.0)
+
+
+def test_contextual_attention_thin_stroke_invalidates_keys():
+    """Keys overlapping a thin stroke must be excluded even when strided
+    sampling would have missed the stroke entirely."""
+    f = jax.random.normal(jax.random.key(9), (1, 16, 16, 8))
+    hole = jnp.zeros((1, 16, 16, 1)).at[:, 1, :, :].set(1.0)
+    y = contextual_attention(f, f, hole, backend="xla")
+    assert y.shape == f.shape
+    # with an all-row stroke at rate=2, the downscaled row 0 is all-hole, so
+    # keys in rows 0-1 are invalid; output remains finite and non-degenerate
+    assert bool(jnp.all(jnp.isfinite(y)))

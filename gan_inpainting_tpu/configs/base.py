@@ -83,6 +83,13 @@ class ModelConfig:
     dtype_policy: str = "bf16"    # bf16 | f32
     # kernel dispatch: pallas | xla | auto (pallas on TPU, xla elsewhere)
     kernel_backend: str = "auto"
+    # decoder upsample+conv blocks evaluated as low-res parity convs
+    # (ops/upsample_conv.py): exact same math and parameters, 4/9ths the
+    # MACs. Measured on v5e: +0.7% serve throughput (the interleave copy
+    # eats most of the FLOP saving) but −6% train steps/s (costlier VJP) —
+    # so the serving config enables it and training configs leave it off.
+    # Checkpoints are interchangeable across both settings.
+    fuse_upsample: bool = False
     # tensor parallelism: shard activation channels over the mesh's model
     # axis (requires running under jax.set_mesh(mesh); no-op when model=1)
     tp_shard: bool = False
@@ -207,7 +214,8 @@ def _serve_v4_8() -> Config:
         data=DataConfig(image_size=256, batch_size=64),
         mask=MaskConfig(kind="freeform"),
         model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
-                          base_features=48, use_attention=True),
+                          base_features=48, use_attention=True,
+                          fuse_upsample=True),
         train=TrainConfig(mesh=MeshConfig(data=-1, model=1)),
         infer=InferConfig(batch_buckets=(8, 64, 256),
                           size_buckets=(256, 512)),

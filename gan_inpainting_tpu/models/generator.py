@@ -51,17 +51,29 @@ class _Stack(nn.Module):
     compute_dtype: Dtype
     param_dtype: Dtype
     tp_shard: bool = False
+    fuse_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, valid=None):
         for i, spec in enumerate(self.specs):
             spec = dict(spec)
+            kind = spec.pop("conv_kind", self.conv_kind)
             if spec.pop("upsample", False):
-                x = _upsample2x(x)
                 if valid is not None:
                     valid = jnp.repeat(jnp.repeat(valid, 2, 1), 2, 2)
+                # 3x3 plain/gated decoder blocks fuse the upsample into a
+                # low-res parity conv (ops/upsample_conv.py) — exact math,
+                # 4/9ths the MACs; others upsample explicitly
+                fuse = (self.fuse_upsample
+                        and kind in ("plain", "gated")
+                        and spec.get("kernel_size", 3) == 3
+                        and spec.get("stride", 1) == 1
+                        and spec.get("dilation", 1) == 1)
+                if not fuse:
+                    x = _upsample2x(x)
+                spec["pre_upsample"] = fuse
             x, valid = InpaintConv(
-                conv_kind=spec.pop("conv_kind", self.conv_kind),
+                conv_kind=kind,
                 backend=self.backend,
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
@@ -116,6 +128,7 @@ class DilatedGenerator(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     tp_shard: bool = False
+    fuse_upsample: bool = False
 
     @nn.compact
     def __call__(self, masked, mask) -> GeneratorOutput:
@@ -125,7 +138,8 @@ class DilatedGenerator(nn.Module):
         specs = _encoder_specs(f) + _dilation_specs(f) + _decoder_specs(f)
         x, _ = _Stack(specs, self.conv_kind, self.backend,
                       self.compute_dtype, self.param_dtype,
-                      tp_shard=self.tp_shard, name="body")(x, valid)
+                      tp_shard=self.tp_shard,
+                      fuse_upsample=self.fuse_upsample, name="body")(x, valid)
         out = jnp.tanh(x.astype(jnp.float32))
         return GeneratorOutput(coarse=None, fine=out)
 
@@ -143,11 +157,13 @@ class CoarseToFineGenerator(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     tp_shard: bool = False
+    fuse_upsample: bool = False
 
     def _stack(self, specs, name):
         return _Stack(specs, self.conv_kind, self.backend,
                       self.compute_dtype, self.param_dtype,
-                      tp_shard=self.tp_shard, name=name)
+                      tp_shard=self.tp_shard,
+                      fuse_upsample=self.fuse_upsample, name=name)
 
     @nn.compact
     def __call__(self, masked, mask) -> GeneratorOutput:
@@ -216,6 +232,7 @@ def build_generator(model_cfg, backend: str | None = None) -> nn.Module:
         compute_dtype=policy.compute_dtype,
         param_dtype=policy.param_dtype,
         tp_shard=model_cfg.tp_shard,
+        fuse_upsample=model_cfg.fuse_upsample,
     )
     if model_cfg.generator == "dilated":
         return DilatedGenerator(**common)

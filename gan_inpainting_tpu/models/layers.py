@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from gan_inpainting_tpu.ops.conv import conv2d
 from gan_inpainting_tpu.ops.gated_conv import _activation, gated_conv
 from gan_inpainting_tpu.ops.partial_conv import partial_conv
+from gan_inpainting_tpu.ops.upsample_conv import upsample2x_conv2d_epilogue
 
 Dtype = Any
 
@@ -40,6 +41,12 @@ class InpaintConv(nn.Module):
     backend: str = "auto"
     compute_dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    # Fuse a preceding nearest-2x upsample into the conv (decoder blocks):
+    # the SAME 3x3 parameter, evaluated as a low-res 2x2 parity conv +
+    # depth-to-space — exact math at 4/9ths the MACs (ops/upsample_conv.py).
+    # Only valid for plain/gated 3x3 stride-1 undilated convs; the caller
+    # (_Stack) falls back to an explicit upsample otherwise.
+    pre_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, valid=None):
@@ -52,6 +59,29 @@ class InpaintConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (cout,),
                           self.param_dtype)
         x = x.astype(self.compute_dtype)
+
+        if self.pre_upsample:
+            if (self.conv_kind not in ("plain", "gated")
+                    or self.kernel_size != 3 or self.stride != 1
+                    or self.dilation != 1):
+                raise ValueError("pre_upsample requires a plain/gated 3x3 "
+                                 "stride-1 undilated conv")
+            # parity kernels built from the f32 param, cast once inside;
+            # bias + activation (+ gate) fuse into the parity convs — the
+            # epilogue commutes with the depth-to-space interleave
+            if self.conv_kind == "gated":
+                def epilogue(m):
+                    m = m + bias.astype(m.dtype)
+                    f, g = jnp.split(m, 2, axis=-1)
+                    return (_activation(self.activation)(f)
+                            * jax.nn.sigmoid(g))
+            else:
+                def epilogue(m):
+                    return _activation(self.activation)(
+                        m + bias.astype(m.dtype))
+            y = upsample2x_conv2d_epilogue(x, kernel, epilogue)
+            return y, valid
+
         kernel = kernel.astype(self.compute_dtype)
 
         if self.conv_kind == "gated":

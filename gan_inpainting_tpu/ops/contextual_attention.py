@@ -118,29 +118,29 @@ def contextual_attention(f, b, hole_mask, *, ksize: int = 3, rate: int = 2,
     backend = resolve_backend(backend, op="contextual_attention")
     bsz, h, w, c = f.shape
 
-    yp = None
     if backend == "pallas" and f is b:
         from gan_inpainting_tpu.ops.pallas.fused_attention import (
-            fused_patch_attention,
+            fused_attention_map,
             fused_supported,
         )
         if fused_supported(f.shape, ksize, rate):
-            # fully-fused path: Q/K/V built in-kernel from the feature map
-            yp = fused_patch_attention(b, hole_mask, ksize=ksize, rate=rate,
-                                       softmax_scale=softmax_scale)
-            hs, ws = h // rate, w // rate
+            # fully-fused path: Q/K/V built in-kernel from the feature map,
+            # tap-major output folded by the Pallas overlap-add — no patch
+            # tensor and no patch-major transpose ever exist in HBM
+            y = fused_attention_map(b, hole_mask, ksize=ksize, rate=rate,
+                                    softmax_scale=softmax_scale)
+            return y.astype(f.dtype)
 
-    if yp is None:
-        q, k, key_valid, v, (hs, ws) = _attention_inputs(
-            f, b, hole_mask, ksize, rate)
-        if backend == "pallas":
-            from gan_inpainting_tpu.ops.pallas.patch_attention import (
-                patch_attention_pallas,
-            )
-            yp = patch_attention_pallas(q, k, key_valid, v,
-                                        softmax_scale=softmax_scale)
-        else:
-            yp = _patch_attention_xla(q, k, key_valid, v, softmax_scale)
+    q, k, key_valid, v, (hs, ws) = _attention_inputs(
+        f, b, hole_mask, ksize, rate)
+    if backend == "pallas":
+        from gan_inpainting_tpu.ops.pallas.patch_attention import (
+            patch_attention_pallas,
+        )
+        yp = patch_attention_pallas(q, k, key_valid, v,
+                                    softmax_scale=softmax_scale)
+    else:
+        yp = _patch_attention_xla(q, k, key_valid, v, softmax_scale)
 
     yp = yp.reshape(bsz, hs, ws, 2 * rate, 2 * rate, c)
     y, cnt = fold_patches(yp, rate, (h, w), "same")

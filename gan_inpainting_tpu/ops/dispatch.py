@@ -25,10 +25,18 @@ VALID = ("auto", "xla", "pallas")
 # What "auto" means per op on TPU, set by measurement (ops/pallas/*.py):
 # * contextual_attention: the blockwise Pallas kernel wins — the XLA path
 #   materializes the (Lq, Lk) score matrix.
-# * gated conv: XLA's native conv + fused epilogue wins — the Pallas im2col
-#   formulation materializes a k²-times-larger activation (observed 6.75 GB
-#   HBM temp at 256²/batch 64 → compile OOM). The kernel remains available
-#   behind backend="pallas" for small shapes / experimentation.
+# * gated conv: XLA's native conv wins — CLOSED OUT (round 2) after two
+#   Pallas formulations lost at every flagship shape on v5e:
+#   - im2col (ops/pallas/fused_matmul.py): k²x HBM activation blow-up
+#     (observed 6.75 GB temp at 256²/batch 64 → compile OOM);
+#   - implicit-GEMM (ops/pallas/direct_conv.py): rows resident in VMEM, k²
+#     in-kernel tap matmuls, fused gate epilogue — still 0.57-0.78x XLA at
+#     the 64²/128² generator shapes and 0.1-0.3x at 256² low-channel
+#     shapes (tools/bench_conv.py r2: XLA 52-70 TF/s vs direct 38-45;
+#     Mosaic's generated matmul pipeline does not reach XLA's conv
+#     codegen, and the epilogue-fusion saving does not cover the gap).
+#   Both kernels stay available behind backend="pallas" (equivalence-
+#   tested) for experimentation; auto stays xla deliberately.
 # * partial conv: XLA fuses the epilogue into the conv already.
 AUTO_TPU = {
     "contextual_attention": "pallas",

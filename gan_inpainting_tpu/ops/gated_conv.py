@@ -35,6 +35,17 @@ def gated_conv(x, kernel, bias, *, stride: int = 1, dilation: int = 1,
     """Gated conv. kernel: (kh, kw, Cin, 2*F); returns (B, Ho, Wo, F)."""
     backend = resolve_backend(backend, op="gated_conv")
     if backend == "pallas":
+        # prefer the implicit-GEMM kernel (no k² HBM expansion); fall back
+        # to the im2col kernel for strided/odd forms. NOTE: auto never
+        # routes here — both lose to XLA on TPU (see ops/dispatch.py).
+        from gan_inpainting_tpu.ops.pallas.direct_conv import (
+            direct_conv_supported,
+            gated_conv_direct,
+        )
+        if stride == 1 and direct_conv_supported(
+                x.shape, kernel.shape[0], stride, dilation):
+            return gated_conv_direct(x, kernel, bias, dilation=dilation,
+                                     activation=activation)
         from gan_inpainting_tpu.ops.pallas.fused_matmul import (
             gated_conv_pallas,
         )

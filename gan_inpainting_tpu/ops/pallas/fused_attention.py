@@ -164,21 +164,16 @@ def _prepare(b_feat, hole_mask, ksize: int, rate: int):
     b_s = b_feat[:, ::rate, ::rate, :]
 
     # sub-pixel parity maps with one halo cell each side:
-    # submap[a, b][cell] = b_feat[cell*r + a, cell*r + b] with cell ∈
-    # [-1, Hs], out-of-range → 0. The kernel's tap (vp, vq) reads parity
-    # a = (vp - r//2) mod r at cell offset (vp - r//2)//r ∈ {-1, 0, 1}.
-    # (rate, 2*rate) padding: highest-parity slice still needs hs+2 cells
-    bf_pad = jnp.pad(b_feat,
-                     ((0, 0), (rate, 2 * rate), (rate, 2 * rate), (0, 0)))
-    subs = []
-    for a in range(rate):
-        row = []
-        for b_ in range(rate):
-            # bf_pad[j] = b_feat[j - rate] → element i is b_feat[(i-1)r + a]
-            sub = bf_pad[:, a::rate, b_::rate, :]
-            row.append(sub[:, :hs + 2, :ws + 2, :])
-        subs.append(jnp.stack(row, axis=1))
-    s2d_pad = jnp.stack(subs, axis=1)  # (B, r, r, Hs+2, Ws+2, C)
+    # s2d_pad[a, b][cell] = b_feat[(cell-1)*r + a, (cell-1)*r + b], cell ∈
+    # [0, Hs+2) covering original cells -1..Hs with zero fill. The kernel's
+    # tap (vp, vq) reads parity a = (vp - r//2) mod r at cell offset
+    # (vp - r//2)//r ∈ {-1, 0, 1}. Built as ONE reshape + transpose + pad —
+    # the strided-slice + stack formulation relayouts every parity slice
+    # (measured ~2x the prep time at 256² serve shapes).
+    s2d = b_feat.reshape(bsz, hs, rate, ws, rate, c)
+    s2d = s2d.transpose(0, 2, 4, 1, 3, 5)           # (B, r, r, Hs, Ws, C)
+    s2d_pad = jnp.pad(
+        s2d, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
 
     from gan_inpainting_tpu.ops.contextual_attention import downscale_mask_max
 
@@ -368,6 +363,73 @@ def fused_patch_attention(b_feat, hole_mask, *, ksize: int = 3,
     """
     return _fused_attention(b_feat, hole_mask, ksize, rate,
                             float(softmax_scale), blocks)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused forward INCLUDING the overlap-add fold: feature map in,
+# attended feature map out. The attention kernel's native tap-major output
+# goes straight into the Pallas fold (ops/pallas/fold.py) — no patch-major
+# transpose, no XLA fold layers. Backward differentiates the equivalent
+# composition (XLA patch front-end + streaming flash kernel + XLA fold),
+# so training semantics match the equivalence-tested reference path.
+# ---------------------------------------------------------------------------
+
+
+def _raw_fused_taps(b_feat, hole_mask, ksize, rate, scale):
+    """(B, taps, Lq, C) tap-major attention output from the fused kernel."""
+    s2d_pad, bias, rnorm, (hs, ws) = _prepare(b_feat, hole_mask, ksize, rate)
+    c = b_feat.shape[-1]
+    qr, kr = _choose_blocks(hs, ws, c, rate)
+    out = _fused_call(s2d_pad, bias, rnorm, scale=scale,
+                      hs=hs, ws=ws, ksize=ksize, rate=rate, qr=qr, kr=kr)
+    return out, (hs, ws)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_attention_folded(b_feat, hole_mask, ksize, rate, scale):
+    from gan_inpainting_tpu.ops.pallas.fold import fold_taps_pallas
+
+    taps, (hs, ws) = _raw_fused_taps(b_feat, hole_mask, ksize, rate, scale)
+    return fold_taps_pallas(taps, hs, ws, rate)
+
+
+def _fused_folded_fwd(b_feat, hole_mask, ksize, rate, scale):
+    return (_fused_attention_folded(b_feat, hole_mask, ksize, rate, scale),
+            (b_feat, hole_mask))
+
+
+def _fused_folded_bwd(ksize, rate, scale, res, g):
+    from gan_inpainting_tpu.ops.contextual_attention import _attention_inputs
+    from gan_inpainting_tpu.ops.patches import fold_patches
+    from gan_inpainting_tpu.ops.pallas.patch_attention import (
+        patch_attention_pallas,
+    )
+
+    b_feat, hole_mask = res
+    bsz, h, w, c = b_feat.shape
+    hs, ws = h // rate, w // rate
+
+    def ref(bf):
+        q, k, valid, v, _ = _attention_inputs(bf, bf, hole_mask, ksize, rate)
+        yp = patch_attention_pallas(q, k, valid, v, softmax_scale=scale)
+        yp = yp.reshape(bsz, hs, ws, 2 * rate, 2 * rate, c)
+        y, cnt = fold_patches(yp, rate, (h, w), "same")
+        return y / jnp.maximum(cnt, 1.0).astype(y.dtype)
+
+    _, vjp = jax.vjp(ref, b_feat)
+    (dbf,) = vjp(g.astype(b_feat.dtype))
+    return dbf, None
+
+
+_fused_attention_folded.defvjp(_fused_folded_fwd, _fused_folded_bwd)
+
+
+def fused_attention_map(b_feat, hole_mask, *, ksize: int = 3, rate: int = 2,
+                        softmax_scale: float = 10.0):
+    """Contextual attention, feature map in → attended map out, fully fused
+    (attention kernel + Pallas fold). Check :func:`fused_supported` first."""
+    return _fused_attention_folded(b_feat, hole_mask, ksize, rate,
+                                   float(softmax_scale))
 
 
 # ---------------------------------------------------------------------------

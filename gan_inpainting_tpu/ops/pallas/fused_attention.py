@@ -119,14 +119,126 @@ def _fused_kernel(bias_ref, rnorm_ref, s2d_ref, o_ref,
         o_ref[0] = (acc_scr[:] * inv[None, :, :]).astype(o_ref.dtype)
 
 
+def _fused_kernel_singlek(bias_ref, rnorm_ref, s2d_hbm, o_ref,
+                          kp_scr, vp_scr, map_scr, sem,
+                          *, scale: float, qr: int, kr: int,
+                          hs: int, ws: int, c: int, ksize: int, rate: int):
+    """Single-K-pass variant (kr == hs, nk == 1) — the serve-shape case.
+
+    The k-tap and v-tap tiles span the whole key grid and are identical
+    for every query row-group, so they are relayouted from the parity maps
+    into aligned (k², Lk, C) / (4r², Lk, C) scratch ONCE per batch
+    element; q-tap tiles are aligned row-slices of the same k-tap planes
+    (queries and keys come from the same map). The parity maps live in
+    HBM and are DMA'd one at a time into a small staging buffer during the
+    build, so steady-state VMEM holds only the aligned tap planes — the
+    per-step body is pure MXU matmuls with zero sublane-shift relayouts
+    (the general kernel pays 9 k + 9 q + 16 v shifted slices per step).
+    Single pass over keys also collapses the flash recurrence to one
+    softmax. Measured 22.4 → 15.9 ms on the 256²-serve attention op
+    (tools/bench_attention.py r2).
+    """
+    ib = pl.program_id(0)
+    iq = pl.program_id(1)
+    bq = qr * ws
+    bk = kr * ws
+    half = rate // 2
+
+    @pl.when(iq == 0)
+    def _build():
+        def stage(par_p, par_q):
+            cp = pltpu.make_async_copy(
+                s2d_hbm.at[ib, par_p, par_q], map_scr, sem)
+            cp.start()
+            cp.wait()
+
+        # K/Q taps come from parity (0, 0) — the downscaled map itself
+        stage(0, 0)
+        for dp in range(ksize):
+            for dq in range(ksize):
+                kp_scr[dp * ksize + dq] = map_scr[
+                    pl.ds(dp, kr), pl.ds(dq, ws), :].reshape(bk, c)
+        for par_p in range(rate):
+            for par_q in range(rate):
+                stage(par_p, par_q)
+                for vp in range(2 * rate):
+                    for vq in range(2 * rate):
+                        if ((vp - half) % rate != par_p
+                                or (vq - half) % rate != par_q):
+                            continue
+                        off_p = (vp - half) // rate + 1
+                        off_q = (vq - half) // rate + 1
+                        vp_scr[vp * 2 * rate + vq] = map_scr[
+                            pl.ds(off_p, kr),
+                            pl.ds(off_q, ws), :].reshape(bk, c)
+
+    s = jnp.zeros((bq, bk), jnp.float32)
+    for t in range(ksize * ksize):
+        qp = kp_scr[t, pl.ds(iq * bq, bq), :]
+        s += jax.lax.dot_general(
+            qp, kp_scr[t], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    bias = bias_ref[0]
+    rnorm = rnorm_ref[0]
+    s = s * (rnorm * scale) + bias
+
+    # single pass over keys: no running max/denominator recurrence needed
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p * (bias >= 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    inv = jnp.where(l > 0.0, 1.0 / jnp.maximum(l, 1e-30), 0.0)
+    p16 = (p * inv).astype(o_ref.dtype)
+
+    for tap in range(4 * rate * rate):
+        pv = jax.lax.dot_general(
+            p16, vp_scr[tap], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, tap] = pv.astype(o_ref.dtype)
+
 def _fused_call(s2d_pad, bias, rnorm, *, scale: float,
                 hs: int, ws: int, ksize: int, rate: int,
-                qr: int, kr: int):
+                qr: int, kr: int, strategy: str = "resident"):
     b = s2d_pad.shape[0]
     c = s2d_pad.shape[-1]
     lq = hs * ws
     nq, nk = hs // qr, hs // kr
     taps = 4 * rate * rate
+
+    if strategy == "stream":
+        return _stream_call(s2d_pad, bias, rnorm, scale=scale,
+                            hs=hs, ws=ws, ksize=ksize, rate=rate,
+                            qr=qr, kr=kr)
+
+    if nk == 1:
+        out = pl.pallas_call(
+            functools.partial(
+                _fused_kernel_singlek, scale=scale, qr=qr, kr=kr,
+                hs=hs, ws=ws, c=c, ksize=ksize, rate=rate),
+            grid=(b, nq, 1),
+            in_specs=[
+                pl.BlockSpec((1, 1, kr * ws),
+                             lambda b_, iq, ik: (b_, 0, ik),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, kr * ws),
+                             lambda b_, iq, ik: (b_, 0, ik),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # parity maps in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (1, taps, qr * ws, c),
+                lambda b_, iq, ik: (b_, 0, iq, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, taps, lq, c), s2d_pad.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((ksize * ksize, kr * ws, c), s2d_pad.dtype),
+                pltpu.VMEM((taps, kr * ws, c), s2d_pad.dtype),
+                pltpu.VMEM((hs + 2, ws + 2, c), s2d_pad.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )(bias[:, None, :], rnorm[:, None, :], s2d_pad)
+        return out
 
     out = pl.pallas_call(
         functools.partial(
@@ -200,8 +312,11 @@ def _prepare(b_feat, hole_mask, ksize: int, rate: int):
 # VMEM plan: the r² parity maps stay resident (pipeline double-buffers
 # them), plus the f32 tap accumulator and output block. Past this budget
 # Mosaic fails to place buffers (observed at 512²) — fall back to the
-# streaming flash kernel instead.
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# DMA-streamed strategy instead. Env-overridable for hardware sweeps.
+import os as _os
+
+_VMEM_BUDGET_BYTES = int(_os.environ.get("INPAINT_VMEM_BUDGET",
+                                         12 * 1024 * 1024))
 
 
 def _fused_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int,
@@ -215,9 +330,9 @@ def _fused_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int,
     return maps + acc + out + scores
 
 
-def _slab_vmem_bytes(ws: int, c: int, rate: int, qr: int, kr: int) -> int:
-    qslab = rate * rate * (qr + 2) * (ws + 2) * c * 2 * 2  # bf16, dbl-buffer
-    kslab = rate * rate * (kr + 2) * (ws + 2) * c * 2 * 2
+def _stream_vmem_bytes(ws: int, c: int, rate: int, qr: int, kr: int) -> int:
+    qslab = (qr + 2) * (ws + 2) * c * 2            # parity (0,0) only
+    kslab = rate * rate * (kr + 2) * (ws + 2) * c * 2
     taps = 4 * rate * rate
     acc = taps * qr * ws * c * 4
     out = taps * qr * ws * c * 2 * 2
@@ -225,27 +340,24 @@ def _slab_vmem_bytes(ws: int, c: int, rate: int, qr: int, kr: int) -> int:
     return qslab + kslab + acc + out + scores
 
 
-def _slab_kr(hs: int, ws: int, c: int, rate: int, qr: int) -> int | None:
+def _stream_kr(hs: int, ws: int, c: int, rate: int, qr: int) -> int | None:
     mult = hs // qr
     while mult >= 1:
         kr = qr * mult
-        if hs % kr == 0 and (_slab_vmem_bytes(ws, c, rate, qr, kr)
+        if hs % kr == 0 and (_stream_vmem_bytes(ws, c, rate, qr, kr)
                              <= _VMEM_BUDGET_BYTES):
             return kr
         mult //= 2
     return None
 
 
-# The slab strategy passes interpreter-mode equivalence tests and has
-# produced correct values on v5e (14.9 ms at 512² — 23% faster than the
-# streaming flash kernel), but crashes the TPU worker NONDETERMINISTICALLY
-# (observed: a 10-iteration scan succeeding; a second jit execution
-# crashing; a first execution crashing). Interpreter semantics are correct,
-# so this is a Mosaic/runtime-level fault (suspect: the overlapping slab
-# block windows interacting with pipelining). Opt-in only until
-# root-caused; auto dispatch uses resident-fused maps or falls back to the
-# streaming flash kernel — both stable across thousands of executions.
-_ENABLE_SLAB_AUTO = False
+# Round-1's slab strategy (overlapping BlockSpec-indexed slab windows)
+# crashed the TPU worker nondeterministically — a Mosaic/runtime-level
+# fault in the input pipeliner that interpreter semantics couldn't
+# reproduce. Round 2 replaced it with the `stream` strategy: the parity
+# maps stay in HBM (memory_space=ANY) and the kernel stages each slab with
+# EXPLICIT pltpu.make_async_copy DMAs into scratch — same math, no
+# overlapping-window pipelining for Mosaic to get wrong.
 
 
 def fused_supported(shape, ksize: int, rate: int) -> bool:
@@ -257,8 +369,7 @@ def fused_supported(shape, ksize: int, rate: int) -> bool:
         return False
     if _fused_vmem_bytes(hs, ws, c, rate, qr) <= _VMEM_BUDGET_BYTES:
         return True  # resident-maps strategy
-    return (_ENABLE_SLAB_AUTO
-            and _slab_kr(hs, ws, c, rate, qr) is not None)
+    return _stream_kr(hs, ws, c, rate, qr) is not None
 
 
 def _choose_blocks(hs: int, ws: int, c: int, rate: int) -> tuple[int, int]:
@@ -285,31 +396,32 @@ def _choose_blocks(hs: int, ws: int, c: int, rate: int) -> tuple[int, int]:
     return qr, kr
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _fused_attention(b_feat, hole_mask, ksize, rate, scale, blocks):
-    s2d_pad, bias, rnorm, (hs, ws) = _prepare(b_feat, hole_mask, ksize, rate)
-    c = b_feat.shape[-1]
+def _plan(hs: int, ws: int, c: int, rate: int,
+          blocks: tuple[int, int] | None = None) -> tuple[str, int, int]:
+    """(strategy, qr, kr): resident maps when they fit VMEM, else the
+    DMA-streamed slab strategy."""
     base = _lcm(128, ws) // ws
     resident_ok = (_fused_vmem_bytes(hs, ws, c, rate, base)
                    <= _VMEM_BUDGET_BYTES)
     if blocks is not None:
         qr, kr = blocks
-        strategy = "resident" if resident_ok else "slab"
-    elif resident_ok:
+        return ("resident" if resident_ok else "stream"), qr, kr
+    if resident_ok:
         qr, kr = _choose_blocks(hs, ws, c, rate)
-        strategy = "resident"
-    else:
-        qr = base
-        kr = _slab_kr(hs, ws, c, rate, qr)
-        strategy = "slab"
-    if strategy == "resident":
-        out = _fused_call(s2d_pad, bias, rnorm, scale=scale,
-                          hs=hs, ws=ws, ksize=ksize, rate=rate,
-                          qr=qr, kr=kr)
-    else:
-        out = _slab_call(s2d_pad, bias, rnorm, scale=scale,
-                         hs=hs, ws=ws, ksize=ksize, rate=rate,
-                         qr=qr, kr=kr)
+        return "resident", qr, kr
+    qr = base
+    kr = _stream_kr(hs, ws, c, rate, qr)
+    return "stream", qr, kr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_attention(b_feat, hole_mask, ksize, rate, scale, blocks):
+    s2d_pad, bias, rnorm, (hs, ws) = _prepare(b_feat, hole_mask, ksize, rate)
+    c = b_feat.shape[-1]
+    strategy, qr, kr = _plan(hs, ws, c, rate, blocks)
+    out = _fused_call(s2d_pad, bias, rnorm, scale=scale,
+                      hs=hs, ws=ws, ksize=ksize, rate=rate,
+                      qr=qr, kr=kr, strategy=strategy)
     # (B, taps, Lq, C) → (B, Lq, taps*C) patch layout used by fold
     b = out.shape[0]
     taps = 4 * rate * rate
@@ -379,9 +491,10 @@ def _raw_fused_taps(b_feat, hole_mask, ksize, rate, scale):
     """(B, taps, Lq, C) tap-major attention output from the fused kernel."""
     s2d_pad, bias, rnorm, (hs, ws) = _prepare(b_feat, hole_mask, ksize, rate)
     c = b_feat.shape[-1]
-    qr, kr = _choose_blocks(hs, ws, c, rate)
+    strategy, qr, kr = _plan(hs, ws, c, rate)
     out = _fused_call(s2d_pad, bias, rnorm, scale=scale,
-                      hs=hs, ws=ws, ksize=ksize, rate=rate, qr=qr, kr=kr)
+                      hs=hs, ws=ws, ksize=ksize, rate=rate, qr=qr, kr=kr,
+                      strategy=strategy)
     return out, (hs, ws)
 
 
@@ -432,40 +545,60 @@ def fused_attention_map(b_feat, hole_mask, *, ksize: int = 3, rate: int = 2,
                                    float(softmax_scale))
 
 
+
 # ---------------------------------------------------------------------------
-# Slab variant: fused construction at resolutions where the full parity maps
-# exceed VMEM (e.g. 512² → 6.7 MB maps × double buffering). Overlapping
-# row-group slabs of the parity maps are materialized once in XLA (cheap:
-# (kr+2)/kr ≈ 1.25× the map bytes) and BlockSpec-indexed per tile — the
-# q-slab by the query tile, the k-slab by the key tile — so the kernel body
-# is the resident kernel with slab-relative row offsets.
+# Stream variant: fused construction at resolutions where the full parity
+# maps exceed VMEM (e.g. 512² → 6.7 MB maps + tap planes). The maps stay in
+# HBM (memory_space=ANY); the kernel stages the query slab (parity (0, 0),
+# qr+2 rows, once per q row-group) and the key slab (all parities, kr+2
+# rows, once per k step) into VMEM scratch with explicit
+# pltpu.make_async_copy DMAs, then runs the same tap-contraction + flash
+# recurrence as the resident kernel on slab-relative offsets. This replaces
+# round-1's BlockSpec-overlapping slab windows, whose Mosaic input
+# pipelining crashed the TPU worker nondeterministically — explicit DMA
+# sidesteps that machinery entirely.
 # ---------------------------------------------------------------------------
 
 
-def _slab_kernel(bias_ref, rnorm_ref, qslab_ref, kslab_ref, o_ref,
-                 acc_scr, m_scr, l_scr,
-                 *, scale: float, nk: int, qr: int, kr: int,
-                 ws: int, c: int, ksize: int, rate: int):
+def _fused_kernel_stream(bias_ref, rnorm_ref, s2d_hbm, o_ref,
+                         qs_scr, ks_scr, acc_scr, m_scr, l_scr, sems,
+                         *, scale: float, nk: int, qr: int, kr: int,
+                         ws: int, c: int, ksize: int, rate: int):
+    ib = pl.program_id(0)
+    iq = pl.program_id(1)
     ik = pl.program_id(2)
+    bq = qr * ws
+    bk = kr * ws
 
     @pl.when(ik == 0)
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
         m_scr[:] = jnp.full_like(m_scr, _INIT_M)
         l_scr[:] = jnp.zeros_like(l_scr)
+        cp = pltpu.make_async_copy(
+            s2d_hbm.at[ib, 0, 0, pl.ds(iq * qr, qr + 2)], qs_scr,
+            sems.at[0])
+        cp.start()
+        cp.wait()
 
-    bq = qr * ws
-    bk = kr * ws
+    # stage the key slab: every parity, rows [ik*kr, ik*kr + kr + 2)
+    copies = []
+    for par_p in range(rate):
+        for par_q in range(rate):
+            t = par_p * rate + par_q
+            cp = pltpu.make_async_copy(
+                s2d_hbm.at[ib, par_p, par_q, pl.ds(ik * kr, kr + 2)],
+                ks_scr.at[t], sems.at[1 + t])
+            cp.start()
+            copies.append(cp)
+    for cp in copies:
+        cp.wait()
 
-    # slab blocks are (1, 1, r*r, group+2, Ws+2, C): parity axes flattened
-    # to keep the block rank at 6 (7-dim blocks fault Mosaic)
     s = jnp.zeros((bq, bk), jnp.float32)
     for dp in range(ksize):
         for dq in range(ksize):
-            qp = qslab_ref[0, 0, 0, pl.ds(dp, qr),
-                           pl.ds(dq, ws), :].reshape(bq, c)
-            kp = kslab_ref[0, 0, 0, pl.ds(dp, kr),
-                           pl.ds(dq, ws), :].reshape(bk, c)
+            qp = qs_scr[pl.ds(dp, qr), pl.ds(dq, ws), :].reshape(bq, c)
+            kp = ks_scr[0, pl.ds(dp, kr), pl.ds(dq, ws), :].reshape(bk, c)
             s += jax.lax.dot_general(
                 qp, kp, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -481,7 +614,7 @@ def _slab_kernel(bias_ref, rnorm_ref, qslab_ref, kslab_ref, o_ref,
     p = jnp.exp(s - m_new)
     p = p * (bias >= 0.0)
     l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-    p16 = p.astype(kslab_ref.dtype)
+    p16 = p.astype(o_ref.dtype)
 
     half = rate // 2
     for vp in range(2 * rate):
@@ -490,9 +623,9 @@ def _slab_kernel(bias_ref, rnorm_ref, qslab_ref, kslab_ref, o_ref,
             par_q = (vq - half) % rate
             off_p = (vp - half) // rate + 1
             off_q = (vq - half) // rate + 1
-            vpart = kslab_ref[0, 0, par_p * rate + par_q,
-                              pl.ds(off_p, kr),
-                              pl.ds(off_q, ws), :].reshape(bk, c)
+            vpart = ks_scr[par_p * rate + par_q,
+                           pl.ds(off_p, kr),
+                           pl.ds(off_q, ws), :].reshape(bk, c)
             pv = jax.lax.dot_general(
                 p16, vpart, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -509,34 +642,17 @@ def _slab_kernel(bias_ref, rnorm_ref, qslab_ref, kslab_ref, o_ref,
         o_ref[0] = (acc_scr[:] * inv[None, :, :]).astype(o_ref.dtype)
 
 
-def _make_slabs(s2d_pad, group: int):
-    """(B, r, r, Hs+2, Ws+2, C) → (B, n, r², group+2, Ws+2, C) overlapping
-    row-group slabs; slab g covers padded rows [g*group, g*group + group+2).
-    Parity axes are flattened (p*r + q) to keep pallas block rank at 6.
-    """
-    b, r, _, hp, wp, c = s2d_pad.shape
-    flat = s2d_pad.reshape(b, r * r, hp, wp, c)
-    hs = hp - 2
-    n = hs // group
-    slabs = [flat[:, :, g * group:g * group + group + 2, :, :]
-             for g in range(n)]
-    return jnp.stack(slabs, axis=1)
-
-
-def _slab_call(s2d_pad, bias, rnorm, *, scale: float, hs: int, ws: int,
-               ksize: int, rate: int, qr: int, kr: int):
+def _stream_call(s2d_pad, bias, rnorm, *, scale: float, hs: int, ws: int,
+                 ksize: int, rate: int, qr: int, kr: int):
     b = s2d_pad.shape[0]
     c = s2d_pad.shape[-1]
     lq = hs * ws
     nq, nk = hs // qr, hs // kr
     taps = 4 * rate * rate
 
-    qslabs = _make_slabs(s2d_pad, qr)       # (B, nq, r, r, qr+2, Ws+2, C)
-    kslabs = _make_slabs(s2d_pad, kr) if kr != qr else qslabs
-
     out = pl.pallas_call(
         functools.partial(
-            _slab_kernel, scale=scale, nk=nk, qr=qr, kr=kr,
+            _fused_kernel_stream, scale=scale, nk=nk, qr=qr, kr=kr,
             ws=ws, c=c, ksize=ksize, rate=rate),
         grid=(b, nq, nk),
         in_specs=[
@@ -544,12 +660,7 @@ def _slab_call(s2d_pad, bias, rnorm, *, scale: float, hs: int, ws: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, kr * ws), lambda b_, iq, ik: (b_, 0, ik),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rate * rate, qr + 2, ws + 2, c),
-                         lambda b_, iq, ik: (b_, iq, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rate * rate, kr + 2, ws + 2, c),
-                         lambda b_, iq, ik: (b_, ik, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # parity maps in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, taps, qr * ws, c),
@@ -557,9 +668,12 @@ def _slab_call(s2d_pad, bias, rnorm, *, scale: float, hs: int, ws: int,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, taps, lq, c), s2d_pad.dtype),
         scratch_shapes=[
+            pltpu.VMEM((qr + 2, ws + 2, c), s2d_pad.dtype),
+            pltpu.VMEM((rate * rate, kr + 2, ws + 2, c), s2d_pad.dtype),
             pltpu.VMEM((taps, qr * ws, c), jnp.float32),
             pltpu.VMEM((qr * ws, 128), jnp.float32),
             pltpu.VMEM((qr * ws, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((1 + rate * rate,)),
         ],
-    )(bias[:, None, :], rnorm[:, None, :], qslabs, kslabs)
+    )(bias[:, None, :], rnorm[:, None, :], s2d_pad)
     return out

@@ -222,9 +222,29 @@ def _serve_v4_8() -> Config:
     )
 
 
+def _partialconv256() -> Config:
+    """Liu et al. ECCV'18-style variant (SURVEY.md R6): mask-aware partial
+    convs with the mask-update rule, irregular masks, hole-weighted L1 +
+    VGG perceptual/style, no adversarial term (gan_weight=0 — the paper
+    trains without a discriminator; the trainer still carries D so the
+    config can be A/B'd against GAN variants by flipping one knob)."""
+    return Config(
+        name="partialconv256",
+        data=DataConfig(image_size=256, batch_size=16),
+        mask=MaskConfig(kind="freeform", max_strokes=8, max_segments=8,
+                        min_width=12.0, max_width=40.0, max_step=80.0),
+        model=ModelConfig(generator="dilated", conv_kind="partial",
+                          base_features=48),
+        loss=LossConfig(adversarial="hinge", gan_weight=0.0,
+                        l1_weight=1.0, l1_hole_weight=6.0,
+                        perceptual_weight=0.05, style_weight=120.0),
+    )
+
+
 _REGISTRY = {
     "celeba128_center": _celeba128_center,
     "celebahq256_freeform": _celebahq256_freeform,
+    "partialconv256": _partialconv256,
     "places512_deepfill": _places512_deepfill,
     "places512_sn_vgg": _places512_sn_vgg,
     "serve_v4_8": _serve_v4_8,

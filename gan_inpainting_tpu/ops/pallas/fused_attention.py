@@ -119,58 +119,36 @@ def _fused_kernel(bias_ref, rnorm_ref, s2d_ref, o_ref,
         o_ref[0] = (acc_scr[:] * inv[None, :, :]).astype(o_ref.dtype)
 
 
-def _fused_kernel_singlek(bias_ref, rnorm_ref, s2d_hbm, o_ref,
-                          kp_scr, vp_scr, map_scr, sem,
+def _fused_kernel_singlek(bias_ref, rnorm_ref, s2d_ref, o_ref, kp_scr,
                           *, scale: float, qr: int, kr: int,
                           hs: int, ws: int, c: int, ksize: int, rate: int):
     """Single-K-pass variant (kr == hs, nk == 1) — the serve-shape case.
 
-    The k-tap and v-tap tiles span the whole key grid and are identical
-    for every query row-group, so they are relayouted from the parity maps
-    into aligned (k², Lk, C) / (4r², Lk, C) scratch ONCE per batch
-    element; q-tap tiles are aligned row-slices of the same k-tap planes
-    (queries and keys come from the same map). The parity maps live in
-    HBM and are DMA'd one at a time into a small staging buffer during the
-    build, so steady-state VMEM holds only the aligned tap planes — the
-    per-step body is pure MXU matmuls with zero sublane-shift relayouts
-    (the general kernel pays 9 k + 9 q + 16 v shifted slices per step).
-    Single pass over keys also collapses the flash recurrence to one
-    softmax. Measured 22.4 → 15.9 ms on the 256²-serve attention op
-    (tools/bench_attention.py r2).
+    The k-tap tiles span the whole key grid and are identical for every
+    query row-group, so they are relayouted from the parity maps into an
+    aligned (k², Lk, C) scratch ONCE per batch element; q-tap tiles are
+    aligned row-slices of those same planes (queries and keys come from
+    the same map) — the per-step 9 k + 9 q sublane-shift relayouts of the
+    general kernel disappear, and the single key pass collapses the flash
+    recurrence to one softmax. Measured 26.9 → 23.8 ms on the 256²-serve
+    attention op incl. fold (tools/bench_attention.py r2).
+
+    NOTE an HBM-maps + explicit-DMA version of this kernel (which also
+    hoisted the 16 v-taps) CRASHES THIS BOX'S REMOTE COMPILE HELPER
+    reproducibly — tpu_compile_helper exits 1 and the axon worker wedges
+    for ~1 h. Do not reintroduce memory_space=ANY + make_async_copy here
+    without re-testing the toolchain; the maps stay a VMEM operand.
     """
-    ib = pl.program_id(0)
     iq = pl.program_id(1)
     bq = qr * ws
     bk = kr * ws
-    half = rate // 2
 
     @pl.when(iq == 0)
     def _build():
-        def stage(par_p, par_q):
-            cp = pltpu.make_async_copy(
-                s2d_hbm.at[ib, par_p, par_q], map_scr, sem)
-            cp.start()
-            cp.wait()
-
-        # K/Q taps come from parity (0, 0) — the downscaled map itself
-        stage(0, 0)
         for dp in range(ksize):
             for dq in range(ksize):
-                kp_scr[dp * ksize + dq] = map_scr[
-                    pl.ds(dp, kr), pl.ds(dq, ws), :].reshape(bk, c)
-        for par_p in range(rate):
-            for par_q in range(rate):
-                stage(par_p, par_q)
-                for vp in range(2 * rate):
-                    for vq in range(2 * rate):
-                        if ((vp - half) % rate != par_p
-                                or (vq - half) % rate != par_q):
-                            continue
-                        off_p = (vp - half) // rate + 1
-                        off_q = (vq - half) // rate + 1
-                        vp_scr[vp * 2 * rate + vq] = map_scr[
-                            pl.ds(off_p, kr),
-                            pl.ds(off_q, ws), :].reshape(bk, c)
+                kp_scr[dp * ksize + dq] = s2d_ref[
+                    0, 0, 0, pl.ds(dp, kr), pl.ds(dq, ws), :].reshape(bk, c)
 
     s = jnp.zeros((bq, bk), jnp.float32)
     for t in range(ksize * ksize):
@@ -191,11 +169,20 @@ def _fused_kernel_singlek(bias_ref, rnorm_ref, s2d_hbm, o_ref,
     inv = jnp.where(l > 0.0, 1.0 / jnp.maximum(l, 1e-30), 0.0)
     p16 = (p * inv).astype(o_ref.dtype)
 
-    for tap in range(4 * rate * rate):
-        pv = jax.lax.dot_general(
-            p16, vp_scr[tap], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, tap] = pv.astype(o_ref.dtype)
+    half = rate // 2
+    for vp in range(2 * rate):
+        for vq in range(2 * rate):
+            par_p = (vp - half) % rate
+            par_q = (vq - half) % rate
+            off_p = (vp - half) // rate + 1
+            off_q = (vq - half) // rate + 1
+            vpart = s2d_ref[0, par_p, par_q,
+                            pl.ds(off_p, kr),
+                            pl.ds(off_q, ws), :].reshape(bk, c)
+            pv = jax.lax.dot_general(
+                p16, vpart, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, vp * 2 * rate + vq] = pv.astype(o_ref.dtype)
 
 def _fused_call(s2d_pad, bias, rnorm, *, scale: float,
                 hs: int, ws: int, ksize: int, rate: int,
@@ -206,10 +193,15 @@ def _fused_call(s2d_pad, bias, rnorm, *, scale: float,
     nq, nk = hs // qr, hs // kr
     taps = 4 * rate * rate
 
-    if strategy == "stream":
-        return _stream_call(s2d_pad, bias, rnorm, scale=scale,
-                            hs=hs, ws=ws, ksize=ksize, rate=rate,
-                            qr=qr, kr=kr)
+    # single-buffered resident maps for the large-map regime ("resident1"):
+    # the maps block has a constant index map, so pipelining buys nothing —
+    # Buffered(1) halves its VMEM footprint and lets 512² fit residency
+    maps_spec = pl.BlockSpec(
+        (1, rate, rate, hs + 2, ws + 2, c),
+        lambda b_, iq, ik: (b_, 0, 0, 0, 0, 0),
+        pipeline_mode=pl.Buffered(buffer_count=1) if strategy == "resident1"
+        else None,
+        memory_space=pltpu.VMEM)
 
     if nk == 1:
         out = pl.pallas_call(
@@ -224,7 +216,7 @@ def _fused_call(s2d_pad, bias, rnorm, *, scale: float,
                 pl.BlockSpec((1, 1, kr * ws),
                              lambda b_, iq, ik: (b_, 0, ik),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # parity maps in HBM
+                maps_spec,
             ],
             out_specs=pl.BlockSpec(
                 (1, taps, qr * ws, c),
@@ -233,9 +225,6 @@ def _fused_call(s2d_pad, bias, rnorm, *, scale: float,
             out_shape=jax.ShapeDtypeStruct((b, taps, lq, c), s2d_pad.dtype),
             scratch_shapes=[
                 pltpu.VMEM((ksize * ksize, kr * ws, c), s2d_pad.dtype),
-                pltpu.VMEM((taps, kr * ws, c), s2d_pad.dtype),
-                pltpu.VMEM((hs + 2, ws + 2, c), s2d_pad.dtype),
-                pltpu.SemaphoreType.DMA(()),
             ],
         )(bias[:, None, :], rnorm[:, None, :], s2d_pad)
         return out
@@ -250,9 +239,7 @@ def _fused_call(s2d_pad, bias, rnorm, *, scale: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, kr * ws), lambda b_, iq, ik: (b_, 0, ik),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rate, rate, hs + 2, ws + 2, c),
-                         lambda b_, iq, ik: (b_, 0, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            maps_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, taps, qr * ws, c),
@@ -320,8 +307,10 @@ _VMEM_BUDGET_BYTES = int(_os.environ.get("INPAINT_VMEM_BUDGET",
 
 
 def _fused_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int,
-                      kr: int | None = None) -> int:
-    maps = rate * rate * (hs + 2) * (ws + 2) * c * 2 * 2  # bf16, dbl-buffer
+                      kr: int | None = None,
+                      single_buffer: bool = False) -> int:
+    buffers = 1 if single_buffer else 2
+    maps = rate * rate * (hs + 2) * (ws + 2) * c * 2 * buffers
     taps = 4 * rate * rate
     acc = taps * qr * ws * c * 4
     out = taps * qr * ws * c * 2 * 2
@@ -330,34 +319,33 @@ def _fused_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int,
     return maps + acc + out + scores
 
 
-def _stream_vmem_bytes(ws: int, c: int, rate: int, qr: int, kr: int) -> int:
-    qslab = (qr + 2) * (ws + 2) * c * 2            # parity (0,0) only
-    kslab = rate * rate * (kr + 2) * (ws + 2) * c * 2
-    taps = 4 * rate * rate
-    acc = taps * qr * ws * c * 4
-    out = taps * qr * ws * c * 2 * 2
-    scores = 2 * (qr * ws) * (kr * ws) * 4
-    return qslab + kslab + acc + out + scores
+# Large-map regime (512² flagship: 6.7 MB parity maps). Two replacement
+# strategies for round-1's crashy overlapping-BlockSpec slabs were tried
+# and BOTH hit toolchain faults on this box:
+# * overlapping slab windows (r1): nondeterministic Mosaic input-pipeliner
+#   fault at RUNTIME — worker crash;
+# * HBM maps + explicit make_async_copy staging (r2): reproducible
+#   tpu_compile_helper crash at COMPILE time — worker wedged ~1 h each try.
+# The surviving approach is "resident1": keep the maps a VMEM operand but
+# with pipeline_mode=pl.Buffered(1) — the block's index map is constant,
+# so pipelining buys nothing and single-buffering halves its footprint,
+# which is exactly what 512² residency needs. Gated behind an env flag
+# until the first 512² compile is validated on hardware (a bad compile
+# costs an hour of worker downtime).
+_RESIDENT1_ENABLED = _os.environ.get("INPAINT_RESIDENT1", "0") == "1"
 
 
-def _stream_kr(hs: int, ws: int, c: int, rate: int, qr: int) -> int | None:
+def _resident1_kr(hs: int, ws: int, c: int, rate: int, qr: int) -> int | None:
     mult = hs // qr
+    best = None
     while mult >= 1:
         kr = qr * mult
-        if hs % kr == 0 and (_stream_vmem_bytes(ws, c, rate, qr, kr)
+        if hs % kr == 0 and (_fused_vmem_bytes(hs, ws, c, rate, qr, kr,
+                                               single_buffer=True)
                              <= _VMEM_BUDGET_BYTES):
             return kr
         mult //= 2
-    return None
-
-
-# Round-1's slab strategy (overlapping BlockSpec-indexed slab windows)
-# crashed the TPU worker nondeterministically — a Mosaic/runtime-level
-# fault in the input pipeliner that interpreter semantics couldn't
-# reproduce. Round 2 replaced it with the `stream` strategy: the parity
-# maps stay in HBM (memory_space=ANY) and the kernel stages each slab with
-# EXPLICIT pltpu.make_async_copy DMAs into scratch — same math, no
-# overlapping-window pipelining for Mosaic to get wrong.
+    return best
 
 
 def fused_supported(shape, ksize: int, rate: int) -> bool:
@@ -369,7 +357,8 @@ def fused_supported(shape, ksize: int, rate: int) -> bool:
         return False
     if _fused_vmem_bytes(hs, ws, c, rate, qr) <= _VMEM_BUDGET_BYTES:
         return True  # resident-maps strategy
-    return _stream_kr(hs, ws, c, rate, qr) is not None
+    return (_RESIDENT1_ENABLED
+            and _resident1_kr(hs, ws, c, rate, qr) is not None)
 
 
 def _choose_blocks(hs: int, ws: int, c: int, rate: int) -> tuple[int, int]:
@@ -398,20 +387,20 @@ def _choose_blocks(hs: int, ws: int, c: int, rate: int) -> tuple[int, int]:
 
 def _plan(hs: int, ws: int, c: int, rate: int,
           blocks: tuple[int, int] | None = None) -> tuple[str, int, int]:
-    """(strategy, qr, kr): resident maps when they fit VMEM, else the
-    DMA-streamed slab strategy."""
+    """(strategy, qr, kr): resident maps when they fit VMEM double-
+    buffered, single-buffered residency ("resident1") otherwise."""
     base = _lcm(128, ws) // ws
     resident_ok = (_fused_vmem_bytes(hs, ws, c, rate, base)
                    <= _VMEM_BUDGET_BYTES)
     if blocks is not None:
         qr, kr = blocks
-        return ("resident" if resident_ok else "stream"), qr, kr
+        return ("resident" if resident_ok else "resident1"), qr, kr
     if resident_ok:
         qr, kr = _choose_blocks(hs, ws, c, rate)
         return "resident", qr, kr
     qr = base
-    kr = _stream_kr(hs, ws, c, rate, qr)
-    return "stream", qr, kr
+    kr = _resident1_kr(hs, ws, c, rate, qr)
+    return "resident1", qr, kr
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -543,137 +532,3 @@ def fused_attention_map(b_feat, hole_mask, *, ksize: int = 3, rate: int = 2,
     (attention kernel + Pallas fold). Check :func:`fused_supported` first."""
     return _fused_attention_folded(b_feat, hole_mask, ksize, rate,
                                    float(softmax_scale))
-
-
-
-# ---------------------------------------------------------------------------
-# Stream variant: fused construction at resolutions where the full parity
-# maps exceed VMEM (e.g. 512² → 6.7 MB maps + tap planes). The maps stay in
-# HBM (memory_space=ANY); the kernel stages the query slab (parity (0, 0),
-# qr+2 rows, once per q row-group) and the key slab (all parities, kr+2
-# rows, once per k step) into VMEM scratch with explicit
-# pltpu.make_async_copy DMAs, then runs the same tap-contraction + flash
-# recurrence as the resident kernel on slab-relative offsets. This replaces
-# round-1's BlockSpec-overlapping slab windows, whose Mosaic input
-# pipelining crashed the TPU worker nondeterministically — explicit DMA
-# sidesteps that machinery entirely.
-# ---------------------------------------------------------------------------
-
-
-def _fused_kernel_stream(bias_ref, rnorm_ref, s2d_hbm, o_ref,
-                         qs_scr, ks_scr, acc_scr, m_scr, l_scr, sems,
-                         *, scale: float, nk: int, qr: int, kr: int,
-                         ws: int, c: int, ksize: int, rate: int):
-    ib = pl.program_id(0)
-    iq = pl.program_id(1)
-    ik = pl.program_id(2)
-    bq = qr * ws
-    bk = kr * ws
-
-    @pl.when(ik == 0)
-    def _init():
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-        m_scr[:] = jnp.full_like(m_scr, _INIT_M)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        cp = pltpu.make_async_copy(
-            s2d_hbm.at[ib, 0, 0, pl.ds(iq * qr, qr + 2)], qs_scr,
-            sems.at[0])
-        cp.start()
-        cp.wait()
-
-    # stage the key slab: every parity, rows [ik*kr, ik*kr + kr + 2)
-    copies = []
-    for par_p in range(rate):
-        for par_q in range(rate):
-            t = par_p * rate + par_q
-            cp = pltpu.make_async_copy(
-                s2d_hbm.at[ib, par_p, par_q, pl.ds(ik * kr, kr + 2)],
-                ks_scr.at[t], sems.at[1 + t])
-            cp.start()
-            copies.append(cp)
-    for cp in copies:
-        cp.wait()
-
-    s = jnp.zeros((bq, bk), jnp.float32)
-    for dp in range(ksize):
-        for dq in range(ksize):
-            qp = qs_scr[pl.ds(dp, qr), pl.ds(dq, ws), :].reshape(bq, c)
-            kp = ks_scr[0, pl.ds(dp, kr), pl.ds(dq, ws), :].reshape(bk, c)
-            s += jax.lax.dot_general(
-                qp, kp, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-    bias = bias_ref[0]
-    rnorm = rnorm_ref[0]
-    s = s * (rnorm * scale) + bias
-
-    m_prev = m_scr[:, :1]
-    l_prev = l_scr[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    p = p * (bias >= 0.0)
-    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-    p16 = p.astype(o_ref.dtype)
-
-    half = rate // 2
-    for vp in range(2 * rate):
-        for vq in range(2 * rate):
-            par_p = (vp - half) % rate
-            par_q = (vq - half) % rate
-            off_p = (vp - half) // rate + 1
-            off_q = (vq - half) // rate + 1
-            vpart = ks_scr[par_p * rate + par_q,
-                           pl.ds(off_p, kr),
-                           pl.ds(off_q, ws), :].reshape(bk, c)
-            pv = jax.lax.dot_general(
-                p16, vpart, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            tap = vp * 2 * rate + vq
-            acc_scr[tap] = acc_scr[tap] * alpha + pv
-
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-
-    @pl.when(ik == nk - 1)
-    def _finish():
-        l = l_scr[:, :1]
-        inv = jnp.where(l > 0.0, 1.0 / jnp.maximum(l, 1e-30), 0.0)
-        o_ref[0] = (acc_scr[:] * inv[None, :, :]).astype(o_ref.dtype)
-
-
-def _stream_call(s2d_pad, bias, rnorm, *, scale: float, hs: int, ws: int,
-                 ksize: int, rate: int, qr: int, kr: int):
-    b = s2d_pad.shape[0]
-    c = s2d_pad.shape[-1]
-    lq = hs * ws
-    nq, nk = hs // qr, hs // kr
-    taps = 4 * rate * rate
-
-    out = pl.pallas_call(
-        functools.partial(
-            _fused_kernel_stream, scale=scale, nk=nk, qr=qr, kr=kr,
-            ws=ws, c=c, ksize=ksize, rate=rate),
-        grid=(b, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, kr * ws), lambda b_, iq, ik: (b_, 0, ik),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kr * ws), lambda b_, iq, ik: (b_, 0, ik),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # parity maps in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (1, taps, qr * ws, c),
-            lambda b_, iq, ik: (b_, 0, iq, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, taps, lq, c), s2d_pad.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((qr + 2, ws + 2, c), s2d_pad.dtype),
-            pltpu.VMEM((rate * rate, kr + 2, ws + 2, c), s2d_pad.dtype),
-            pltpu.VMEM((taps, qr * ws, c), jnp.float32),
-            pltpu.VMEM((qr * ws, 128), jnp.float32),
-            pltpu.VMEM((qr * ws, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((1 + rate * rate,)),
-        ],
-    )(bias[:, None, :], rnorm[:, None, :], s2d_pad)
-    return out

@@ -58,6 +58,9 @@ def test_overfit_one_batch_drives_l1_down(tiny_config):
                               "model.conv_kind=gated",
                               "model.use_attention=true"]),
     ("partial_conv", ["model.conv_kind=partial"]),
+    ("partialconv_no_gan", ["model.conv_kind=partial", "loss.gan_weight=0",
+                            "loss.perceptual_weight=0.05",
+                            "loss.style_weight=1.0"]),
     ("sn_vgg", ["model.spectral_norm=true", "loss.perceptual_weight=0.05",
                 "loss.style_weight=1.0", "loss.adversarial=hinge",
                 "loss.spatial_discount=0.9"]),

@@ -78,17 +78,19 @@ def test_fused_all_hole_gives_zeros():
 
 
 def test_slab_strategy_matches_oracle(monkeypatch):
-    """Force the DMA-stream path (used when resident maps exceed VMEM)."""
+    """Force the single-buffered residency path (maps exceed the
+    double-buffered VMEM budget)."""
     import gan_inpainting_tpu.ops.pallas.fused_attention as fa
 
     f, hole = _case(8, 1, 64, 64, 8)
     q, k, valid, v, _ = _attention_inputs(f, f, hole, 3, 2)
     expected = _patch_attention_xla(q, k, valid, v, 10.0)
 
-    # shrink the budget so resident doesn't fit but streamed slabs do
-    monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 320 * 1024)
+    # shrink the budget so double-buffered residency doesn't fit
+    monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 360 * 1024)
+    monkeypatch.setattr(fa, "_RESIDENT1_ENABLED", True)
     assert fa.fused_supported(f.shape, 3, 2)
-    assert fa._plan(32, 32, 8, 2)[0] == "stream"
+    assert fa._plan(32, 32, 8, 2)[0] == "resident1"
     with pltpu.force_tpu_interpret_mode():
         got = fa.fused_patch_attention(f, hole, ksize=3, rate=2,
                                        softmax_scale=10.0)
@@ -101,8 +103,9 @@ def test_slab_strategy_all_hole(monkeypatch):
 
     f, _ = _case(9, 1, 64, 64, 8)
     hole = jnp.ones((1, 64, 64, 1), jnp.float32)
-    monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 320 * 1024)
-    assert fa._plan(32, 32, 8, 2)[0] == "stream"
+    monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 360 * 1024)
+    monkeypatch.setattr(fa, "_RESIDENT1_ENABLED", True)
+    assert fa._plan(32, 32, 8, 2)[0] == "resident1"
     with pltpu.force_tpu_interpret_mode():
         got = fa.fused_patch_attention(f, hole)
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)

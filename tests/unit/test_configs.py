@@ -11,11 +11,15 @@ from gan_inpainting_tpu.configs.base import (
 )
 
 
-def test_five_named_configs():
+def test_named_configs():
+    """The five BASELINE.json:7-11 configs verbatim, plus the round-2
+    partial-conv (Liu et al.) variant."""
     names = list_configs()
     assert names == sorted([
         "celeba128_center", "celebahq256_freeform", "places512_deepfill",
-        "places512_sn_vgg", "serve_v4_8"])
+        "places512_sn_vgg", "serve_v4_8", "partialconv256"])
+    pc = get_config("partialconv256")
+    assert pc.model.conv_kind == "partial" and pc.loss.gan_weight == 0.0
 
 
 def test_config_contents_match_baseline():

@@ -68,7 +68,10 @@ def _fold_kernel(taps_ref, inv_ref, o_ref, *, rate: int, rg: int, ws: int,
         planes.append(jnp.stack(cols, axis=2))          # (rg, ws, r, C)
     y = jnp.stack(planes, axis=1)                       # (rg, r, ws, r, C)
     y = y.reshape(rg * r, ws * r, c)
-    y = y * inv_ref[...][:, :, None]
+    # inv arrives as the FULL (r·hs, r·ws) plane (tiny geometry constant;
+    # a blocked spec would need 8-sublane-divisible row groups)
+    row0 = pl.program_id(1) * rg * r
+    y = y * inv_ref[pl.ds(row0, rg * r), :][:, :, None]
     o_ref[:] = y.astype(o_ref.dtype)
 
 
@@ -99,10 +102,12 @@ def fold_taps_pallas(taps, hs: int, ws: int, rate: int, *,
     # makes — the XLA fold makes several
     taps = jnp.pad(taps, ((0, 0), (0, 0), (ws, ws), (0, 0)))
 
-    # cell-row group: keep the input block ≲ 2 MB so double buffering fits
+    # cell-row group: keep the double-buffered input block within ~8 MB.
+    # Small row-groups are overhead-dominated (rg=2 at the 512² shape ran
+    # ~5 ms slower than the XLA fold; rg≥8 wins at every measured shape).
     rg = hs
     while rg > 1 and n_taps * (rg + 2) * ws * c * taps.dtype.itemsize > (
-            2 * 1024 * 1024):
+            4 * 1024 * 1024):
         rg //= 2
     while hs % rg:
         rg //= 2
@@ -116,7 +121,7 @@ def fold_taps_pallas(taps, hs: int, ws: int, rate: int, *,
                  pl.Element((rg + 2) * ws), pl.Element(c)),
                 lambda b_, i: (b_, 0, i * rg * ws, 0),
                 memory_space=pltpu.VMEM),
-            pl.BlockSpec((r * rg, r * ws), lambda b_, i: (i, 0),
+            pl.BlockSpec((r * hs, r * ws), lambda b_, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((pl.Squeezed(), r * rg, r * ws, c),

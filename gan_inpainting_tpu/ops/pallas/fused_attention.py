@@ -329,10 +329,11 @@ def _fused_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int,
 # The surviving approach is "resident1": keep the maps a VMEM operand but
 # with pipeline_mode=pl.Buffered(1) — the block's index map is constant,
 # so pipelining buys nothing and single-buffering halves its footprint,
-# which is exactly what 512² residency needs. Gated behind an env flag
-# until the first 512² compile is validated on hardware (a bad compile
-# costs an hour of worker downtime).
-_RESIDENT1_ENABLED = _os.environ.get("INPAINT_RESIDENT1", "0") == "1"
+# which is exactly what 512² residency needs. Hardware-validated on v5e
+# (r2): compiles cleanly, 17.1 ms vs 18.7 streaming / 19.4 dense at the
+# 512² flagship attention shape, stable across a repeat-execution soak —
+# enabled by default (env-disable with INPAINT_RESIDENT1=0).
+_RESIDENT1_ENABLED = _os.environ.get("INPAINT_RESIDENT1", "1") == "1"
 
 
 def _resident1_kr(hs: int, ws: int, c: int, rate: int, qr: int) -> int | None:
@@ -490,9 +491,20 @@ def _raw_fused_taps(b_feat, hole_mask, ksize, rate, scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _fused_attention_folded(b_feat, hole_mask, ksize, rate, scale):
     from gan_inpainting_tpu.ops.pallas.fold import fold_taps_pallas
+    from gan_inpainting_tpu.ops.patches import fold_patches
 
     taps, (hs, ws) = _raw_fused_taps(b_feat, hole_mask, ksize, rate, scale)
-    return fold_taps_pallas(taps, hs, ws, rate)
+    # fold dispatch, measured on v5e: the Pallas fold edges out the XLA
+    # layered fold at serve-scale cell grids (≤2048 cells: 23.9 vs 24.2 ms
+    # on the 256² op) but loses at 512² grids (22.7 vs 17.1 — its in-VMEM
+    # shuffle volume scales with the grid), so big grids take the
+    # transpose + XLA fold instead.
+    if hs * ws <= 2048:
+        return fold_taps_pallas(taps, hs, ws, rate)
+    b, n_taps, lq, c = taps.shape
+    pm = taps.transpose(0, 2, 1, 3).reshape(b, hs, ws, 2 * rate, 2 * rate, c)
+    y, cnt = fold_patches(pm, rate, (rate * hs, rate * ws), "same")
+    return y / jnp.maximum(cnt, 1.0).astype(y.dtype)
 
 
 def _fused_folded_fwd(b_feat, hole_mask, ksize, rate, scale):

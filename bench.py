@@ -41,13 +41,26 @@ def main() -> int:
     tcfg = apply_overrides(tcfg, [
         "data.batch_size=32", "train.mesh.data=-1", "train.mesh.model=1"])
     try:
-        tres = bench_train(tcfg, iters=10, warmup=2)
+        tres = bench_train(tcfg, iters=10)
         out["train_metric"] = tres["metric"]
         out["train_value"] = round(tres["value"], 2)
         out["train_unit"] = tres["unit"]
         out["train_batch"] = tres["batch"]
     except Exception as exc:  # keep the headline metric even if train fails
         out["train_error"] = f"{type(exc).__name__}: {exc}"
+
+    # third tracked metric (VERDICT r2 #3): the marquee 512² training
+    # config (SN-PatchGAN + VGG perceptual/style + mixed-mask curriculum,
+    # BASELINE.json:10), full G+D step at the config's batch size
+    t512 = get_config("places512_sn_vgg")
+    t512 = apply_overrides(t512, ["train.mesh.data=-1", "train.mesh.model=1"])
+    try:
+        tres = bench_train(t512, iters=5)
+        out["train512_metric"] = "512² G+D train steps/sec (places512_sn_vgg)"
+        out["train512_value"] = round(tres["value"], 2)
+        out["train512_batch"] = tres["batch"]
+    except Exception as exc:
+        out["train512_error"] = f"{type(exc).__name__}: {exc}"
 
     print(json.dumps(out))
     return 0

@@ -105,17 +105,18 @@ def bench_infer(cfg: Config, *, batch: int = 32, iters: int = 10,
     }
 
 
-def bench_train(cfg: Config, *, iters: int = 10, warmup: int = 2) -> dict:
+def bench_train(cfg: Config, *, iters: int = 10) -> dict:
     """G+D steps/sec with ALL steps inside one device program.
 
     A Python step loop measures host/tunnel dispatch latency, not device
     throughput (observed 47 → 24 steps/s swings on this box purely from
     remote-tunnel health). ``lax.scan`` over the jitted train step keeps
     the same per-step work — mask synthesis, normalize, full D+G update —
-    while issuing a single dispatch; per-call ``step0`` offsets keep the
-    warmup and timed programs' PRNG streams distinct (dedupe-safe).
+    while issuing a single dispatch. Methodology (since r2): one untimed
+    post-compile execution, then BEST-OF-3 timed runs — the first
+    execution in a fresh process can absorb a one-off multi-second remote
+    stall. (r1 numbers were single-run means; not directly comparable.)
     """
-    del warmup
     mesh = build_mesh(cfg.train.mesh)
     streams = make_streams(0)
     state = create_state(cfg, jax.random.key(0))

@@ -65,6 +65,14 @@ class DataConfig:
     synthetic_size: int = 512     # virtual dataset length for synthetic
     loader_threads: int = 2       # decoder threads for dataset=folder
     prefetch_batches: int = 4     # decoded-batch prefetch queue depth
+    # decode-once uint8 memmap cache for dataset=folder. Small-resolution
+    # configs consume far faster than JPEG decode on a 1-core host
+    # (celeba128 trains at ~1500 img/s vs ~300-900 decoded); the cache
+    # pays one decode epoch, then batches are memmap gathers at memory
+    # bandwidth. "auto" enables it when image_size <= 256 (a 512² cache
+    # of Places2 scale would be ~TBs); "on"/"off" force it.
+    loader_cache: str = "auto"    # auto | on | off
+    loader_cache_dir: str = ""    # default: ~/.cache/gan_inpainting_tpu
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,6 +18,9 @@ device (data/pipeline.py).
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 import pathlib
 import queue
 import threading
@@ -76,6 +79,48 @@ def _load_batch(files: list[pathlib.Path], size: int) -> np.ndarray:
     return np.stack([_load_image(p, size) for p in files])
 
 
+def _cache_wanted(cfg: DataConfig) -> bool:
+    if cfg.loader_cache == "on":
+        return True
+    if cfg.loader_cache == "off":
+        return False
+    if cfg.loader_cache != "auto":
+        raise ValueError(f"loader_cache must be auto|on|off, "
+                         f"got {cfg.loader_cache!r}")
+    return cfg.image_size <= 256
+
+
+def _cache_array(files: list[pathlib.Path], size: int,
+                 cache_dir: str) -> np.memmap:
+    """Decode-once uint8 cache: one (N, size, size, 3) memmap per
+    (file list, size). Validated by a sidecar manifest (paths + mtimes +
+    size) so a changed dataset rebuilds; built atomically via rename so a
+    killed build never yields a half-written cache."""
+    base = (pathlib.Path(cache_dir) if cache_dir
+            else pathlib.Path(os.path.expanduser("~/.cache/gan_inpainting_tpu")))
+    base.mkdir(parents=True, exist_ok=True)
+    manifest = {
+        "size": size,
+        "files": [[str(p), p.stat().st_mtime_ns] for p in files],
+    }
+    digest = hashlib.sha256(
+        json.dumps(manifest, sort_keys=True).encode()).hexdigest()[:24]
+    data_path = base / f"{digest}_{size}.u8"
+    shape = (len(files), size, size, 3)
+    if not data_path.exists():
+        tmp = data_path.with_suffix(".building")
+        mm = np.memmap(tmp, dtype=np.uint8, mode="w+", shape=shape)
+        chunk = 64
+        for start in range(0, len(files), chunk):
+            mm[start:start + chunk] = _load_batch(
+                files[start:start + chunk], size)
+        mm.flush()
+        del mm
+        (base / f"{digest}_{size}.json").write_text(json.dumps(manifest))
+        os.replace(tmp, data_path)
+    return np.memmap(data_path, dtype=np.uint8, mode="r", shape=shape)
+
+
 def _folder_iter(cfg: DataConfig, seed: int, batch_size: int,
                  split: str) -> Iterator[np.ndarray]:
     root = pathlib.Path(cfg.root)
@@ -88,6 +133,16 @@ def _folder_iter(cfg: DataConfig, seed: int, batch_size: int,
              if (i % 20 == 0) == (split == "eval")]
     rng = np.random.default_rng(seed)
     n_threads = max(int(cfg.loader_threads), 1)
+
+    if _cache_wanted(cfg):
+        # NOTE _folder_iter is a generator function — `yield from`, not
+        # `return` (a bare return here would just end the generator)
+        cache = _cache_array(files, cfg.image_size, cfg.loader_cache_dir)
+        while True:
+            idx = rng.permutation(len(files))
+            for start in range(0, len(idx) - batch_size + 1, batch_size):
+                ids = idx[start:start + batch_size]
+                yield np.ascontiguousarray(cache[ids])
 
     # one index producer feeds batch index lists; loader_threads decoder
     # workers decode in parallel (PIL/native decode releases the GIL in

@@ -43,7 +43,8 @@ def gated_conv(x, kernel, bias, *, stride: int = 1, dilation: int = 1,
             gated_conv_direct,
         )
         if stride == 1 and direct_conv_supported(
-                x.shape, kernel.shape[0], stride, dilation):
+                x.shape, kernel.shape[0], stride, dilation,
+                features=kernel.shape[-1] // 2):
             return gated_conv_direct(x, kernel, bias, dilation=dilation,
                                      activation=activation)
         from gan_inpainting_tpu.ops.pallas.fused_matmul import (

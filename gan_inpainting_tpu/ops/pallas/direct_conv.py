@@ -101,11 +101,19 @@ def _pick_rg(h: int, w: int, cin: int, cf: int, k: int, dil: int,
     return best
 
 
-def direct_conv_supported(x_shape, k: int, stride: int, dilation: int) -> bool:
+def direct_conv_supported(x_shape, k: int, stride: int, dilation: int,
+                          features: int = 1) -> bool:
+    """``features`` is the gated conv's F (= kernel.shape[-1] // 2).
+
+    Pass the real value — the accumulator/output/weight footprints scale
+    with it, and a cf=1 estimate can say "fits" for near-budget Cout>128
+    shapes where gated_conv_direct then fails to find a row group
+    (ADVICE r2 #2).
+    """
     _, h, w, cin = x_shape
     if stride != 1 or k % 2 == 0:
         return False
-    return _pick_rg(h, w, cin, 1, k, dilation) is not None
+    return _pick_rg(h, w, cin, features, k, dilation) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -24,9 +24,10 @@ tile on the fly:
 
 Key-grid tiles are whole rows (block = rows·Ws), so every slice is
 rectangular. Wrapper falls back to the materialized kernel when the shape
-doesn't tile this way. Gradients: custom VJP that rebuilds Q/K/V with the
-XLA front-end and reuses the materialized backward kernels — training takes
-the memory hit, serving gets the fusion.
+doesn't tile this way. Gradients (folded entry): fully in-kernel dQ/dK/dV
+that rebuild every tile from the same parity maps — neither scores nor
+patch tensors exist in the backward either (fused_attention_bwd.py); the
+unfolded entry keeps the XLA-front-end + streaming-flash fallback.
 """
 
 from __future__ import annotations
@@ -48,10 +49,15 @@ def _lcm(a: int, b: int) -> int:
     return a * b // math.gcd(a, b)
 
 
-def _fused_kernel(bias_ref, rnorm_ref, s2d_ref, o_ref,
-                  acc_scr, m_scr, l_scr,
-                  *, scale: float, nk: int, qr: int, kr: int,
-                  hs: int, ws: int, c: int, ksize: int, rate: int):
+def _fused_kernel(bias_ref, rnorm_ref, s2d_ref, o_ref, *rest,
+                  scale: float, nk: int, qr: int, kr: int,
+                  hs: int, ws: int, c: int, ksize: int, rate: int,
+                  emit_lse: bool = False):
+    if emit_lse:
+        lse_ref, acc_scr, m_scr, l_scr = rest
+    else:
+        lse_ref = None
+        acc_scr, m_scr, l_scr = rest
     iq = pl.program_id(1)
     ik = pl.program_id(2)
 
@@ -117,11 +123,20 @@ def _fused_kernel(bias_ref, rnorm_ref, s2d_ref, o_ref,
         l = l_scr[:, :1]
         inv = jnp.where(l > 0.0, 1.0 / jnp.maximum(l, 1e-30), 0.0)
         o_ref[0] = (acc_scr[:] * inv[None, :, :]).astype(o_ref.dtype)
+        if emit_lse:
+            # all-invalid rows emit lse = 0, not -inf — the backward
+            # recomputes p = exp(s - lse) and s ≈ NEG_INF there, so 0
+            # gives exactly-zero p (patch_attention.py house convention)
+            lse = jnp.where(l > 0.0,
+                            m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30)),
+                            0.0)
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _fused_kernel_singlek(bias_ref, rnorm_ref, s2d_ref, o_ref, kp_scr,
-                          *, scale: float, qr: int, kr: int,
-                          hs: int, ws: int, c: int, ksize: int, rate: int):
+def _fused_kernel_singlek(bias_ref, rnorm_ref, s2d_ref, o_ref, *rest,
+                          scale: float, qr: int, kr: int,
+                          hs: int, ws: int, c: int, ksize: int, rate: int,
+                          emit_lse: bool = False):
     """Single-K-pass variant (kr == hs, nk == 1) — the serve-shape case.
 
     The k-tap tiles span the whole key grid and are identical for every
@@ -139,6 +154,11 @@ def _fused_kernel_singlek(bias_ref, rnorm_ref, s2d_ref, o_ref, kp_scr,
     for ~1 h. Do not reintroduce memory_space=ANY + make_async_copy here
     without re-testing the toolchain; the maps stay a VMEM operand.
     """
+    if emit_lse:
+        lse_ref, kp_scr = rest
+    else:
+        lse_ref = None
+        (kp_scr,) = rest
     iq = pl.program_id(1)
     bq = qr * ws
     bk = kr * ws
@@ -168,6 +188,9 @@ def _fused_kernel_singlek(bias_ref, rnorm_ref, s2d_ref, o_ref, kp_scr,
     l = jnp.sum(p, axis=1, keepdims=True)
     inv = jnp.where(l > 0.0, 1.0 / jnp.maximum(l, 1e-30), 0.0)
     p16 = (p * inv).astype(o_ref.dtype)
+    if emit_lse:
+        lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), 0.0)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
     half = rate // 2
     for vp in range(2 * rate):
@@ -186,7 +209,11 @@ def _fused_kernel_singlek(bias_ref, rnorm_ref, s2d_ref, o_ref, kp_scr,
 
 def _fused_call(s2d_pad, bias, rnorm, *, scale: float,
                 hs: int, ws: int, ksize: int, rate: int,
-                qr: int, kr: int, strategy: str = "resident"):
+                qr: int, kr: int, strategy: str = "resident",
+                want_lse: bool = False):
+    """Returns tap-major output (B, taps, Lq, C); with ``want_lse`` also a
+    (B, Lq) f32 per-query logsumexp for the in-kernel backward (serving
+    never pays for the lse write)."""
     b = s2d_pad.shape[0]
     c = s2d_pad.shape[-1]
     lq = hs * ws
@@ -203,11 +230,22 @@ def _fused_call(s2d_pad, bias, rnorm, *, scale: float,
         else None,
         memory_space=pltpu.VMEM)
 
+    out_specs = [pl.BlockSpec((1, taps, qr * ws, c),
+                              lambda b_, iq, ik: (b_, 0, iq, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, taps, lq, c), s2d_pad.dtype)]
+    if want_lse:
+        out_specs.append(pl.BlockSpec((1, qr * ws, 128),
+                                      lambda b_, iq, ik: (b_, iq, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, lq, 128), jnp.float32))
+
     if nk == 1:
-        out = pl.pallas_call(
+        res = pl.pallas_call(
             functools.partial(
                 _fused_kernel_singlek, scale=scale, qr=qr, kr=kr,
-                hs=hs, ws=ws, c=c, ksize=ksize, rate=rate),
+                hs=hs, ws=ws, c=c, ksize=ksize, rate=rate,
+                emit_lse=want_lse),
             grid=(b, nq, 1),
             in_specs=[
                 pl.BlockSpec((1, 1, kr * ws),
@@ -218,45 +256,45 @@ def _fused_call(s2d_pad, bias, rnorm, *, scale: float,
                              memory_space=pltpu.VMEM),
                 maps_spec,
             ],
-            out_specs=pl.BlockSpec(
-                (1, taps, qr * ws, c),
-                lambda b_, iq, ik: (b_, 0, iq, 0),
-                memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, taps, lq, c), s2d_pad.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((ksize * ksize, kr * ws, c), s2d_pad.dtype),
             ],
         )(bias[:, None, :], rnorm[:, None, :], s2d_pad)
-        return out
-
-    out = pl.pallas_call(
-        functools.partial(
-            _fused_kernel, scale=scale, nk=nk, qr=qr, kr=kr,
-            hs=hs, ws=ws, c=c, ksize=ksize, rate=rate),
-        grid=(b, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, kr * ws), lambda b_, iq, ik: (b_, 0, ik),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kr * ws), lambda b_, iq, ik: (b_, 0, ik),
-                         memory_space=pltpu.VMEM),
-            maps_spec,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, taps, qr * ws, c),
-            lambda b_, iq, ik: (b_, 0, iq, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, taps, lq, c), s2d_pad.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((taps, qr * ws, c), jnp.float32),
-            pltpu.VMEM((qr * ws, 128), jnp.float32),
-            pltpu.VMEM((qr * ws, 128), jnp.float32),
-        ],
-    )(bias[:, None, :], rnorm[:, None, :], s2d_pad)
-    return out
+    else:
+        res = pl.pallas_call(
+            functools.partial(
+                _fused_kernel, scale=scale, nk=nk, qr=qr, kr=kr,
+                hs=hs, ws=ws, c=c, ksize=ksize, rate=rate,
+                emit_lse=want_lse),
+            grid=(b, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1, kr * ws), lambda b_, iq, ik: (b_, 0, ik),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, kr * ws), lambda b_, iq, ik: (b_, 0, ik),
+                             memory_space=pltpu.VMEM),
+                maps_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((taps, qr * ws, c), jnp.float32),
+                pltpu.VMEM((qr * ws, 128), jnp.float32),
+                pltpu.VMEM((qr * ws, 128), jnp.float32),
+            ],
+        )(bias[:, None, :], rnorm[:, None, :], s2d_pad)
+    if want_lse:
+        return res[0], res[1][:, :, 0]
+    return res[0]
 
 
 def _prepare(b_feat, hole_mask, ksize: int, rate: int):
-    """XLA-side prep: parity maps, validity bias, key rnorm."""
+    """XLA-side prep: parity maps, validity bias, key rnorm + norm.
+
+    Returns (s2d_pad, bias, rnorm, knorm, (hs, ws)); knorm = ||key patch||
+    (B, Lk) f32 — the backward's normalization correction needs it, the
+    forward ignores it (fused into rnorm)."""
     bsz, h, w, c = b_feat.shape
     hs, ws = h // rate, w // rate
 
@@ -292,8 +330,9 @@ def _prepare(b_feat, hole_mask, ksize: int, rate: int):
         px2, 0.0, jax.lax.add,
         window_dimensions=(1, ksize, ksize, 1),
         window_strides=(1, 1, 1, 1), padding=pad)
-    rnorm = (1.0 / jnp.maximum(jnp.sqrt(n2), 1e-4)).reshape(bsz, hs * ws)
-    return s2d_pad, bias, rnorm, (hs, ws)
+    knorm = jnp.sqrt(n2).reshape(bsz, hs * ws)
+    rnorm = 1.0 / jnp.maximum(knorm, 1e-4)
+    return s2d_pad, bias, rnorm, knorm, (hs, ws)
 
 
 # VMEM plan: the r² parity maps stay resident (pipeline double-buffers
@@ -308,15 +347,23 @@ _VMEM_BUDGET_BYTES = int(_os.environ.get("INPAINT_VMEM_BUDGET",
 
 def _fused_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int,
                       kr: int | None = None,
-                      single_buffer: bool = False) -> int:
+                      single_buffer: bool = False,
+                      ksize: int = 3) -> int:
     buffers = 1 if single_buffer else 2
     maps = rate * rate * (hs + 2) * (ws + 2) * c * 2 * buffers
     taps = 4 * rate * rate
-    acc = taps * qr * ws * c * 4
     out = taps * qr * ws * c * 2 * 2
     kr = kr if kr is not None else _lcm(128, ws) // ws
     scores = 2 * (qr * ws) * (kr * ws) * 4   # s + p transients, f32
-    return maps + acc + out + scores
+    if kr == hs:
+        # nk == 1 routes to _fused_kernel_singlek: its scratch is the
+        # hoisted k-tap planes (ksize², Lk, C), NOT the flash accumulator
+        # (~3.5 MB at the 256² serve shape — unmodeled before ADVICE r2 #1)
+        scratch = ksize * ksize * (kr * ws) * c * 2
+    else:
+        # flash kernel: f32 tap accumulator + m/l scratches
+        scratch = taps * qr * ws * c * 4 + 2 * qr * ws * 128 * 4
+    return maps + scratch + out + scores
 
 
 # Large-map regime (512² flagship: 6.7 MB parity maps). Two replacement
@@ -338,7 +385,6 @@ _RESIDENT1_ENABLED = _os.environ.get("INPAINT_RESIDENT1", "1") == "1"
 
 def _resident1_kr(hs: int, ws: int, c: int, rate: int, qr: int) -> int | None:
     mult = hs // qr
-    best = None
     while mult >= 1:
         kr = qr * mult
         if hs % kr == 0 and (_fused_vmem_bytes(hs, ws, c, rate, qr, kr,
@@ -346,7 +392,7 @@ def _resident1_kr(hs: int, ws: int, c: int, rate: int, qr: int) -> int | None:
                              <= _VMEM_BUDGET_BYTES):
             return kr
         mult //= 2
-    return best
+    return None
 
 
 def fused_supported(shape, ksize: int, rate: int) -> bool:
@@ -383,11 +429,13 @@ def _choose_blocks(hs: int, ws: int, c: int, rate: int) -> tuple[int, int]:
             kr = cand
             break
         mult //= 2
-    if kr == hs and hs % (2 * base) == 0 and 2 * base * ws <= 256:
+    if (kr == hs and hs % (2 * base) == 0 and 2 * base * ws <= 256
+            and _fused_vmem_bytes(hs, ws, c, rate, 2 * base, kr)
+            <= _VMEM_BUDGET_BYTES):
         # single-pass regime: a 256-row query block amortizes the per-step
         # softmax/bookkeeping better (measured 19.3 → 19.0 ms at 256²
-        # serve); keep qr at base elsewhere — the flash accumulator scales
-        # with it
+        # serve); keep qr at base elsewhere — the output block and score
+        # transients scale with it, so the doubled qr is budget-re-checked
         qr = 2 * base
     return qr, kr
 
@@ -395,24 +443,45 @@ def _choose_blocks(hs: int, ws: int, c: int, rate: int) -> tuple[int, int]:
 def _plan(hs: int, ws: int, c: int, rate: int,
           blocks: tuple[int, int] | None = None) -> tuple[str, int, int]:
     """(strategy, qr, kr): resident maps when they fit VMEM double-
-    buffered, single-buffered residency ("resident1") otherwise."""
+    buffered, single-buffered residency ("resident1") otherwise.
+
+    Raises ValueError (instead of handing _fused_call a None kr or a
+    disabled strategy) when the shape needs resident1 but the env
+    kill-switch is set or no key row-group fits — callers that skip
+    fused_supported() get a clear error, not a Mosaic fault.
+    """
     base = _lcm(128, ws) // ws
     resident_ok = (_fused_vmem_bytes(hs, ws, c, rate, base)
                    <= _VMEM_BUDGET_BYTES)
     if blocks is not None:
         qr, kr = blocks
+        if not resident_ok and not _RESIDENT1_ENABLED:
+            raise ValueError(
+                f"fused attention at hs={hs} ws={ws} c={c} needs "
+                "single-buffered residency (resident1), disabled via "
+                "INPAINT_RESIDENT1=0 — use the streaming kernel instead")
         return ("resident" if resident_ok else "resident1"), qr, kr
     if resident_ok:
         qr, kr = _choose_blocks(hs, ws, c, rate)
         return "resident", qr, kr
+    if not _RESIDENT1_ENABLED:
+        raise ValueError(
+            f"fused attention at hs={hs} ws={ws} c={c} needs "
+            "single-buffered residency (resident1), disabled via "
+            "INPAINT_RESIDENT1=0 — use the streaming kernel instead")
     qr = base
     kr = _resident1_kr(hs, ws, c, rate, qr)
+    if kr is None:
+        raise ValueError(
+            f"fused attention: no key row-group fits the VMEM budget at "
+            f"hs={hs} ws={ws} c={c} rate={rate} — use the streaming kernel")
     return "resident1", qr, kr
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _fused_attention(b_feat, hole_mask, ksize, rate, scale, blocks):
-    s2d_pad, bias, rnorm, (hs, ws) = _prepare(b_feat, hole_mask, ksize, rate)
+    s2d_pad, bias, rnorm, _, (hs, ws) = _prepare(b_feat, hole_mask, ksize,
+                                                 rate)
     c = b_feat.shape[-1]
     strategy, qr, kr = _plan(hs, ws, c, rate, blocks)
     out = _fused_call(s2d_pad, bias, rnorm, scale=scale,
@@ -431,14 +500,12 @@ def _fused_attention_fwd(b_feat, hole_mask, ksize, rate, scale, blocks):
 
 
 def _fused_attention_bwd(ksize, rate, scale, blocks, res, g):
-    """Backward: rebuild Q/K/V with the XLA patch front-end, then run the
-    STREAMING flash backward kernels (patch_attention.py) through their
-    custom VJP — the dense (Lq, Lk) score matrix never materializes.
-
-    The Q/K/V patch tensors themselves still materialize here (they are the
-    front-end's output); killing those too requires in-kernel dQ/dK/dV tile
-    reconstruction from the parity maps — VERDICT r1 #3's full form, staged
-    behind this change.
+    """Backward for the UNFOLDED (patch-major) entry: rebuild Q/K/V with
+    the XLA patch front-end, then run the STREAMING flash backward kernels
+    (patch_attention.py) — the dense (Lq, Lk) score matrix never
+    materializes, but the patch tensors do. Training goes through the
+    FOLDED entry, whose backward is fully in-kernel
+    (fused_attention_bwd.py) and materializes neither.
     """
     del blocks
     from gan_inpainting_tpu.ops.contextual_attention import _attention_inputs
@@ -477,34 +544,41 @@ def fused_patch_attention(b_feat, hole_mask, *, ksize: int = 3,
 # Fully-fused forward INCLUDING the overlap-add fold: feature map in,
 # attended feature map out. The attention kernel's native tap-major output
 # goes straight into the Pallas fold (ops/pallas/fold.py) — no patch-major
-# transpose, no XLA fold layers. Backward differentiates the equivalent
-# composition (XLA patch front-end + streaming flash kernel + XLA fold),
-# so training semantics match the equivalence-tested reference path.
+# transpose, no XLA fold layers. Backward: in-kernel dQ/dK/dV rebuilding
+# tiles from the parity maps (fused_attention_bwd.py) when its VMEM plan
+# fits; else differentiates the equivalent materialized composition (XLA
+# patch front-end + streaming flash kernel + XLA fold). Both match the
+# equivalence-tested reference path.
 # ---------------------------------------------------------------------------
 
 
-def _raw_fused_taps(b_feat, hole_mask, ksize, rate, scale):
+def _raw_fused_taps(b_feat, hole_mask, ksize, rate, scale,
+                    want_lse: bool = False):
     """(B, taps, Lq, C) tap-major attention output from the fused kernel."""
-    s2d_pad, bias, rnorm, (hs, ws) = _prepare(b_feat, hole_mask, ksize, rate)
+    s2d_pad, bias, rnorm, _, (hs, ws) = _prepare(b_feat, hole_mask, ksize,
+                                                 rate)
     c = b_feat.shape[-1]
     strategy, qr, kr = _plan(hs, ws, c, rate)
-    out = _fused_call(s2d_pad, bias, rnorm, scale=scale,
+    res = _fused_call(s2d_pad, bias, rnorm, scale=scale,
                       hs=hs, ws=ws, ksize=ksize, rate=rate, qr=qr, kr=kr,
-                      strategy=strategy)
-    return out, (hs, ws)
+                      strategy=strategy, want_lse=want_lse)
+    if want_lse:
+        return res[0], res[1], (hs, ws)
+    return res, (hs, ws)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_attention_folded(b_feat, hole_mask, ksize, rate, scale):
+def _fold_taps(taps, hs: int, ws: int, rate: int):
+    """Overlap-add fold of the kernel's tap-major output to a feature map.
+
+    Fold dispatch, measured on v5e: the Pallas fold edges out the XLA
+    layered fold at serve-scale cell grids (≤2048 cells: 23.9 vs 24.2 ms
+    on the 256² op) but loses at 512² grids (22.7 vs 17.1 — its in-VMEM
+    shuffle volume scales with the grid), so big grids take the
+    transpose + XLA fold instead.
+    """
     from gan_inpainting_tpu.ops.pallas.fold import fold_taps_pallas
     from gan_inpainting_tpu.ops.patches import fold_patches
 
-    taps, (hs, ws) = _raw_fused_taps(b_feat, hole_mask, ksize, rate, scale)
-    # fold dispatch, measured on v5e: the Pallas fold edges out the XLA
-    # layered fold at serve-scale cell grids (≤2048 cells: 23.9 vs 24.2 ms
-    # on the 256² op) but loses at 512² grids (22.7 vs 17.1 — its in-VMEM
-    # shuffle volume scales with the grid), so big grids take the
-    # transpose + XLA fold instead.
     if hs * ws <= 2048:
         return fold_taps_pallas(taps, hs, ws, rate)
     b, n_taps, lq, c = taps.shape
@@ -513,19 +587,51 @@ def _fused_attention_folded(b_feat, hole_mask, ksize, rate, scale):
     return y / jnp.maximum(cnt, 1.0).astype(y.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_attention_folded(b_feat, hole_mask, ksize, rate, scale):
+    taps, (hs, ws) = _raw_fused_taps(b_feat, hole_mask, ksize, rate, scale)
+    return _fold_taps(taps, hs, ws, rate)
+
+
 def _fused_folded_fwd(b_feat, hole_mask, ksize, rate, scale):
+    from gan_inpainting_tpu.ops.pallas.fused_attention_bwd import (
+        bwd_plan,
+        fused_bwd_enabled,
+    )
+
+    _, h, w, c = b_feat.shape
+    hs, ws = h // rate, w // rate
+    if fused_bwd_enabled() and bwd_plan(hs, ws, c, rate) is not None:
+        # in-kernel backward: save the tap-major output + per-query lse so
+        # dQ/dK/dV tiles are rebuilt from the parity maps — no Q/K/V patch
+        # tensor exists in either direction (VERDICT r2 #2)
+        taps, lse, (hs, ws) = _raw_fused_taps(
+            b_feat, hole_mask, ksize, rate, scale, want_lse=True)
+        return (_fold_taps(taps, hs, ws, rate),
+                (b_feat, hole_mask, taps, lse))
     return (_fused_attention_folded(b_feat, hole_mask, ksize, rate, scale),
-            (b_feat, hole_mask))
+            (b_feat, hole_mask, None, None))
 
 
 def _fused_folded_bwd(ksize, rate, scale, res, g):
+    b_feat, hole_mask, o_taps, lse = res
+    if o_taps is not None:
+        from gan_inpainting_tpu.ops.pallas.fused_attention_bwd import (
+            fused_folded_bwd_inkernel,
+        )
+
+        dbf = fused_folded_bwd_inkernel(b_feat, hole_mask, ksize, rate,
+                                        scale, o_taps, lse, g)
+        return dbf, None
+
+    # fallback: rebuild Q/K/V with the XLA patch front-end and differentiate
+    # the streaming-flash composition (materializes the patch tensors)
     from gan_inpainting_tpu.ops.contextual_attention import _attention_inputs
     from gan_inpainting_tpu.ops.patches import fold_patches
     from gan_inpainting_tpu.ops.pallas.patch_attention import (
         patch_attention_pallas,
     )
 
-    b_feat, hole_mask = res
     bsz, h, w, c = b_feat.shape
     hs, ws = h // rate, w // rate
 

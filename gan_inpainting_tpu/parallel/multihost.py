@@ -39,7 +39,12 @@ def ensure_initialized(verbose: bool = True) -> int:
     an auto-detecting TPU-pod runtime where initialize() needs no args).
     Safe to call unconditionally; single-process runs return 1 untouched.
     """
-    if jax.process_count() > 1:
+    # NOTE: must not touch the backend (jax.process_count(), jax.devices(),
+    # …) before deciding — those calls initialize XLA, after which
+    # jax.distributed.initialize() refuses to run. Found the hard way by
+    # the first real 2-process run (tools/run_multihost_cpu.py): the old
+    # `if jax.process_count() > 1` pre-check broke every manual-env launch.
+    if jax.distributed.is_initialized():
         return jax.process_count()  # already initialized by the launcher
     addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
             or os.environ.get("COORDINATOR_ADDRESS"))
@@ -85,12 +90,25 @@ def shard_host_batch(mesh, tree):
     if jax.process_count() == 1:
         return shard_batch(mesh, tree)
 
+    import numpy as np
+
     def put(x):
-        x = jax.numpy.asarray(x)
+        # keep host data as numpy: under an ambient `jax.set_mesh`,
+        # jnp.asarray builds a mesh-GLOBAL replicated array whose shards
+        # span non-addressable devices, and the per-shard callback inside
+        # make_array_from_process_local_data then fails device_put
+        x = np.asarray(x)
         if x.ndim == 0:
-            # replicated scalars: every process must pass the same value
-            return jax.make_array_from_process_local_data(
-                NamedSharding(mesh, P()), x)
+            # replicated scalars: every process must pass the same value.
+            # Assembled from per-LOCAL-device copies —
+            # make_array_from_process_local_data with P() device_puts to
+            # non-addressable devices and throws (first real 2-process run,
+            # tools/run_multihost_cpu.py).
+            sharding = NamedSharding(mesh, P())
+            local = [jax.device_put(x, d) for d in
+                     sharding.addressable_devices]
+            return jax.make_array_from_single_device_arrays(
+                x.shape, sharding, local)
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
         return jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), x)

@@ -27,7 +27,7 @@ def test_matches_xla(shape, k, dil):
     x = _rand(0, shape)
     kernel = _rand(1, (k, k, shape[-1], 10), 0.2)
     bias = _rand(2, (10,), 0.1)
-    assert direct_conv_supported(shape, k, 1, dil)
+    assert direct_conv_supported(shape, k, 1, dil, features=5)
     want = gated_conv_xla(x, kernel, bias, stride=1, dilation=dil,
                           activation="elu")
     with pltpu.force_tpu_interpret_mode():
@@ -54,6 +54,15 @@ def test_gradients_match():
     for name, a, b in zip(["dx", "dk", "db"], g_ref, g_dir):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_supported_models_real_features():
+    # near-budget shape that fits with cf=1 but not with the real Cout:
+    # the dispatcher must see False up front, not a ValueError from
+    # gated_conv_direct's re-pick (ADVICE r2 #2)
+    shape = (1, 512, 512, 256)
+    assert direct_conv_supported(shape, 3, 1, 1, features=1)
+    assert not direct_conv_supported(shape, 3, 1, 1, features=1024)
 
 
 def test_stride2_unsupported():

@@ -77,7 +77,7 @@ def test_fused_all_hole_gives_zeros():
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
 
 
-def test_slab_strategy_matches_oracle(monkeypatch):
+def test_resident1_matches_oracle(monkeypatch):
     """Force the single-buffered residency path (maps exceed the
     double-buffered VMEM budget)."""
     import gan_inpainting_tpu.ops.pallas.fused_attention as fa
@@ -86,8 +86,9 @@ def test_slab_strategy_matches_oracle(monkeypatch):
     q, k, valid, v, _ = _attention_inputs(f, f, hole, 3, 2)
     expected = _patch_attention_xla(q, k, valid, v, 10.0)
 
-    # shrink the budget so double-buffered residency doesn't fit
-    monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 360 * 1024)
+    # shrink the budget so double-buffered residency (541 KB at this
+    # shape) doesn't fit but single-buffered kr=4 (467 KB) does
+    monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 512 * 1024)
     monkeypatch.setattr(fa, "_RESIDENT1_ENABLED", True)
     assert fa.fused_supported(f.shape, 3, 2)
     assert fa._plan(32, 32, 8, 2)[0] == "resident1"
@@ -98,14 +99,51 @@ def test_slab_strategy_matches_oracle(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_slab_strategy_all_hole(monkeypatch):
+def test_resident1_all_hole(monkeypatch):
     import gan_inpainting_tpu.ops.pallas.fused_attention as fa
 
     f, _ = _case(9, 1, 64, 64, 8)
     hole = jnp.ones((1, 64, 64, 1), jnp.float32)
-    monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 360 * 1024)
+    monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 512 * 1024)
     monkeypatch.setattr(fa, "_RESIDENT1_ENABLED", True)
     assert fa._plan(32, 32, 8, 2)[0] == "resident1"
     with pltpu.force_tpu_interpret_mode():
         got = fa.fused_patch_attention(f, hole)
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
+
+
+def test_plan_raises_when_resident1_unavailable(monkeypatch):
+    """_plan must fail loudly (not hand _fused_call a None kr or a disabled
+    strategy) when the shape needs resident1 but it can't be used."""
+    import gan_inpainting_tpu.ops.pallas.fused_attention as fa
+
+    monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 512 * 1024)
+    monkeypatch.setattr(fa, "_RESIDENT1_ENABLED", False)
+    assert not fa.fused_supported((1, 64, 64, 8), 3, 2)
+    with pytest.raises(ValueError, match="INPAINT_RESIDENT1"):
+        fa._plan(32, 32, 8, 2)
+    # blocks override takes the same gate
+    with pytest.raises(ValueError, match="INPAINT_RESIDENT1"):
+        fa._plan(32, 32, 8, 2, blocks=(4, 4))
+    # enabled but nothing fits at an absurdly small budget
+    monkeypatch.setattr(fa, "_RESIDENT1_ENABLED", True)
+    monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 1024)
+    with pytest.raises(ValueError, match="no key row-group"):
+        fa._plan(32, 32, 8, 2)
+
+
+def test_vmem_model_counts_singlek_scratch():
+    """kr == hs routes to the single-K-pass kernel whose kp_scr scratch
+    (ksize²·Lk·C·2B) must be in the budget model (ADVICE r2 #1)."""
+    import gan_inpainting_tpu.ops.pallas.fused_attention as fa
+
+    hs = ws = 32
+    c = 128
+    full = fa._fused_vmem_bytes(hs, ws, c, 2, 4, kr=hs)
+    kp_scr = 9 * (hs * ws) * c * 2
+    # removing the kp_scr term must drop the estimate by exactly its size
+    # relative to a flash-regime estimate at the same blocks
+    flash = fa._fused_vmem_bytes(hs, ws, c, 2, 4, kr=hs // 2)
+    assert full - (fa._fused_vmem_bytes(hs, ws, c, 2, 4, kr=hs) - kp_scr) \
+        == kp_scr
+    assert full > 0 and flash > 0

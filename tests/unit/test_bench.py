@@ -16,7 +16,7 @@ def test_bench_infer_structure(tiny_config):
 
 def test_bench_train_structure(tiny_config):
     tiny_config = apply_overrides(tiny_config, ["train.mesh.data=1"])
-    r = bench_train(tiny_config, iters=2, warmup=1)
+    r = bench_train(tiny_config, iters=2)
     assert r["unit"] == "steps/sec"
     assert r["value"] > 0
     assert r["images_per_sec"] > 0

@@ -66,7 +66,8 @@ def main() -> int:
             x, kern, bias, stride=1, dilation=dil), pool, iters)
         row = {"xla_ms": round(t_xla, 2),
                "xla_tfs": round(gf / t_xla, 1)}
-        if direct_conv_supported((batch, h, w, cin), k, 1, dil):
+        if direct_conv_supported((batch, h, w, cin), k, 1, dil,
+                                 features=feats):
             t_dir = _timeit(lambda x: gated_conv_direct(
                 x, kern, bias, dilation=dil), pool, iters)
             row["direct_ms"] = round(t_dir, 2)

@@ -38,15 +38,34 @@ def make_dataset_dir(n: int, px: int, root: pathlib.Path) -> None:
         Image.fromarray(img_u8).save(root / f"img_{i:05d}.jpg", quality=90)
 
 
+def _measure(tmp: str, size: int, batch: int, threads: int, cache: str,
+             cache_dir: str, n_batches: int = 40) -> float:
+    from gan_inpainting_tpu.configs.base import DataConfig
+    from gan_inpainting_tpu.data.loader import _folder_iter
+
+    cfg = DataConfig(dataset="folder", root=tmp, image_size=size,
+                     batch_size=batch, loader_threads=threads,
+                     loader_cache=cache, loader_cache_dir=cache_dir)
+    it = _folder_iter(cfg, seed=0, batch_size=batch, split="train")
+    # warm: fill the pipeline + JIT-free steady state (for the cache tier
+    # this also pays the one-time decode epoch)
+    for _ in range(6):
+        next(it)
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        b = next(it)
+    dt = time.perf_counter() - t0
+    assert b.shape == (batch, size, size, 3) and b.dtype == np.uint8
+    return n_batches * batch / dt
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     px = int(sys.argv[2]) if len(sys.argv) > 2 else 640
     size = int(sys.argv[3]) if len(sys.argv) > 3 else 512
-    threads = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    sweep = "--sweep" in sys.argv
 
-    from gan_inpainting_tpu.configs.base import DataConfig
     from gan_inpainting_tpu.data import native_loader
-    from gan_inpainting_tpu.data.loader import _folder_iter
 
     with tempfile.TemporaryDirectory() as tmp:
         root = pathlib.Path(tmp)
@@ -54,28 +73,37 @@ def main() -> int:
         make_dataset_dir(n, px, root)
         print(f"wrote {n} {px}px JPEGs in {time.perf_counter()-t0:.1f}s",
               flush=True)
+        cache_dir = str(root / "_cache")
+        batch = 8 if size >= 512 else 64
 
-        batch = 8  # places512 batch size
-        cfg = DataConfig(dataset="folder", root=tmp, image_size=size,
-                         batch_size=batch, loader_threads=threads)
-        it = _folder_iter(cfg, seed=0, batch_size=batch, split="train")
-        # warm: fill the pipeline + JIT-free steady state
-        for _ in range(6):
-            next(it)
-        t0 = time.perf_counter()
-        n_batches = 40
-        for _ in range(n_batches):
-            b = next(it)
-        dt = time.perf_counter() - t0
-        assert b.shape == (batch, size, size, 3) and b.dtype == np.uint8
+        if sweep:
+            # thread-scaling curve + the cache tier, for SURVEY §8's
+            # loader-at-rate table (VERDICT r2 #6)
+            table = {}
+            for threads in (1, 2, 4, 8):
+                ips = _measure(tmp, size, batch, threads, "off", cache_dir)
+                table[f"decode_t{threads}"] = round(ips, 1)
+                print(f"threads={threads} decode {ips:.1f} img/s",
+                      flush=True)
+            ips = _measure(tmp, size, batch, 1, "on", cache_dir)
+            table["cached"] = round(ips, 1)
+            print(f"cached {ips:.1f} img/s", flush=True)
+            print(json.dumps({
+                "metric": f"folder loader {px}px->{size}px images/sec",
+                "native_loader": native_loader.available(),
+                "batch": batch,
+                **table,
+            }))
+            return 0
 
-        ips = n_batches * batch / dt
+        threads = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        ips = _measure(tmp, size, batch, threads, "off", cache_dir)
         out = {
             "metric": f"folder loader {px}px->{size}px images/sec",
             "value": round(ips, 1),
             "native_loader": native_loader.available(),
             "threads": threads,
-            "batches_per_sec": round(n_batches / dt, 2),
+            "batch": batch,
         }
         print(json.dumps(out))
     return 0

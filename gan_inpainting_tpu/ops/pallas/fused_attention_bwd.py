@@ -7,8 +7,12 @@ backward needs is rebuilt in-kernel from the same VMEM-resident sub-pixel
 parity maps the forward uses (fused_attention.py module docstring), and the
 upstream gradient arrives the same way: the adjoint of the overlap-add fold
 is exactly a parity-map decomposition of dy/cnt, so `do` tiles are slices
-of a second (r, r, Hs+2, Ws+2, C) map operand — no (Lq, 16C) `do` tensor
-either.
+of (r, r, Hs+2, Ws+2, C) gradient parity maps — no (Lq, 16C) `do` tensor
+either. The gradient maps are only ever read for the CURRENT query
+row-group, so they stream through VMEM as overlapping all-Element halo
+windows (the validated safe Mosaic seam on this box) instead of residing
+like the feature maps — two resident map sets would blow VMEM at the
+512² flagship shape (c=192: 6.7 MB each).
 
 The patch-gradient → feature-map-gradient scatter also happens in-kernel:
 each grid row-group accumulates its tap gradients in f32 scratch and writes
@@ -67,8 +71,14 @@ def _bwd_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int, kr: int,
                     ksize: int = 3) -> int:
     bq, bk = qr * ws, kr * ws
     taps = 4 * rate * rate
-    # both map operands (features + grad), single-buffered — grid-constant
-    maps = 2 * rate * rate * (hs + 2) * (ws + 2) * c * 2
+    # feature maps resident single-buffered (grid-constant index); the
+    # GRADIENT maps are NOT resident — `do` tiles are only ever read for
+    # the current query row-group, so they stream as an all-Element
+    # overlapping halo window (the validated safe Mosaic seam). Keeping
+    # both maps resident would blow VMEM at the 512² flagship (c=192:
+    # 2 × 6.7 MB of maps alone).
+    maps = rate * rate * (hs + 2) * (ws + 2) * c * 2
+    gwin = rate * rate * (qr + 2) * (ws + 2) * c * 2 * 2   # double-buffered
     trans = 4 * bq * bk * 4                      # u, s/p, dp, ds transients
     dq_side = (ksize * ksize * bq * c * 4        # dq tap scratch (f32)
                + taps * bq * c * 2 * 2           # o operand, double-buffered
@@ -79,7 +89,7 @@ def _bwd_vmem_bytes(hs: int, ws: int, c: int, rate: int, qr: int, kr: int,
                 + (kr + 2) * (ws + 2) * c * 2 * 2          # dk block out
                 + rate * rate * (kr + 2) * (ws + 2) * c * 2 * 2  # dv blocks
                 + 2 * bq * 128 * 4 * 2)          # lse + delta in
-    return maps + trans + max(dq_side, dkv_side)
+    return maps + gwin + trans + max(dq_side, dkv_side)
 
 
 def bwd_plan(hs: int, ws: int, c: int, rate: int,
@@ -146,8 +156,10 @@ def _bwd_dq_kernel(bias_ref, rnorm_ref, lse_ref, o_ref, s2d_ref, g2d_ref,
     geo = _v_tap_geometry(rate)
 
     def do_tile(tap):
+        # g2d_ref is the streamed per-row-group halo window: rows are
+        # BLOCK-relative (row 0 ↔ padded-map row iq·qr)
         pp, pq, op, oq = geo[tap]
-        return g2d_ref[0, pp, pq, pl.ds(iq * qr + op, qr),
+        return g2d_ref[0, pp, pq, pl.ds(op, qr),
                        pl.ds(oq, ws), :].reshape(bq, c)
 
     @pl.when(ik == 0)
@@ -244,7 +256,7 @@ def _bwd_dkv_kernel(bias_ref, rnorm_ref, lse_ref, delta_ref,
     dp_acc = jnp.zeros((bq, bk), jnp.float32)
     for tap in range(len(geo)):
         pp, pq, op, oq = geo[tap]
-        do_t = g2d_ref[0, pp, pq, pl.ds(iq * qr + op, qr),
+        do_t = g2d_ref[0, pp, pq, pl.ds(op, qr),
                        pl.ds(oq, ws), :].reshape(bq, c)
         # dV: Σ_i p_ij · do_i, per tap
         dv_scr[tap] += jax.lax.dot_general(
@@ -369,6 +381,17 @@ def fused_folded_bwd_inkernel(b_feat, hole_mask, ksize: int, rate: int,
         lambda b_, i, j: (b_, 0, 0, 0, 0, 0),
         pipeline_mode=pl.Buffered(buffer_count=1),
         memory_space=pltpu.VMEM)
+
+    # the gradient maps stream one halo row-group window per query block —
+    # overlapping all-Element windows, NOT a second resident operand (VMEM:
+    # the flagship c=192 shape can't hold two resident map sets)
+    def gwin_spec(index_map):
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(rate), pl.Element(rate),
+             pl.Element(qr + 2), pl.Element(ws + 2), pl.Element(c)),
+            index_map,
+            memory_space=pltpu.VMEM)
+
     row_spec = pl.BlockSpec((1, 1, kr * ws), lambda b_, i, j: (b_, 0, j),
                             memory_space=pltpu.VMEM)
     # dq grid is (b, nq, nk): lse/o stream by iq, bias/rnorm by ik
@@ -385,7 +408,7 @@ def fused_folded_bwd_inkernel(b_feat, hole_mask, ksize: int, rate: int,
                          lambda b_, i, j: (b_, 0, i, 0),
                          memory_space=pltpu.VMEM),
             maps_spec,
-            maps_spec,
+            gwin_spec(lambda b_, i, j: (b_, 0, 0, i * qr, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, qr + 2, ws + 2, c),
@@ -419,7 +442,7 @@ def fused_folded_bwd_inkernel(b_feat, hole_mask, ksize: int, rate: int,
             qrow_spec,
             qrow_spec,
             maps_spec,
-            maps_spec,
+            gwin_spec(lambda b_, i, j: (b_, 0, 0, j * qr, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, kr + 2, ws + 2, c),

@@ -34,6 +34,10 @@ def test_inkernel_bwd_is_active():
     # the shape every bwd test uses must actually take the in-kernel path
     assert fab.fused_bwd_enabled()
     assert fab.bwd_plan(32, 32, 8, 2) is not None
+    # …and so must the 512² flagship train shape (128² feats, c = 4f = 192)
+    assert fab.bwd_plan(64, 64, 192, 2) is not None
+    # and the 256² train shape (64² feats)
+    assert fab.bwd_plan(32, 32, 192, 2) is not None
 
 
 def test_bwd_matches_oracle():

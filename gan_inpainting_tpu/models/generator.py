@@ -52,12 +52,19 @@ class _Stack(nn.Module):
     param_dtype: Dtype
     tp_shard: bool = False
     fuse_upsample: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, valid=None):
         for i, spec in enumerate(self.specs):
             spec = dict(spec)
             kind = spec.pop("conv_kind", self.conv_kind)
+            if (self.s2d_stem and kind in ("plain", "gated")
+                    and spec.get("kernel_size") == 5
+                    and spec.get("stride", 1) == 1
+                    and spec.get("dilation", 1) == 1
+                    and not spec.get("upsample", False)):
+                spec["s2d"] = True
             if spec.pop("upsample", False):
                 if valid is not None:
                     valid = jnp.repeat(jnp.repeat(valid, 2, 1), 2, 2)
@@ -129,6 +136,9 @@ class DilatedGenerator(nn.Module):
     param_dtype: Dtype = jnp.float32
     tp_shard: bool = False
     fuse_upsample: bool = False
+    s2d_stem: bool = False
+    bf16_head: bool = False
+    remat_stages: bool = False
 
     @nn.compact
     def __call__(self, masked, mask) -> GeneratorOutput:
@@ -136,11 +146,13 @@ class DilatedGenerator(nn.Module):
         x = jnp.concatenate([masked, mask.astype(masked.dtype)], axis=-1)
         valid = 1.0 - mask
         specs = _encoder_specs(f) + _dilation_specs(f) + _decoder_specs(f)
-        x, _ = _Stack(specs, self.conv_kind, self.backend,
-                      self.compute_dtype, self.param_dtype,
-                      tp_shard=self.tp_shard,
-                      fuse_upsample=self.fuse_upsample, name="body")(x, valid)
-        out = jnp.tanh(x.astype(jnp.float32))
+        cls = nn.remat(_Stack) if self.remat_stages else _Stack
+        x, _ = cls(specs, self.conv_kind, self.backend,
+                   self.compute_dtype, self.param_dtype,
+                   tp_shard=self.tp_shard,
+                   fuse_upsample=self.fuse_upsample,
+                   s2d_stem=self.s2d_stem, name="body")(x, valid)
+        out = jnp.tanh(x if self.bf16_head else x.astype(jnp.float32))
         return GeneratorOutput(coarse=None, fine=out)
 
 
@@ -158,12 +170,26 @@ class CoarseToFineGenerator(nn.Module):
     param_dtype: Dtype = jnp.float32
     tp_shard: bool = False
     fuse_upsample: bool = False
+    s2d_stem: bool = False
+    # serving-only: evaluate the tanh output heads in compute dtype
+    # instead of f32 (saves full-resolution f32 traffic; outputs are
+    # uint8-quantized at the API boundary anyway)
+    bf16_head: bool = False
+    remat_stages: bool = False
 
     def _stack(self, specs, name):
-        return _Stack(specs, self.conv_kind, self.backend,
-                      self.compute_dtype, self.param_dtype,
-                      tp_shard=self.tp_shard,
-                      fuse_upsample=self.fuse_upsample, name=name)
+        # remat: recompute each stack's activations in the backward pass
+        # (jax.checkpoint via nn.remat) instead of keeping them live across
+        # the whole G+D step — trades ~1 extra forward of FLOPs for the
+        # full-resolution activation memory, which is what bounds batch
+        # size at 512² (13.7 GB temp at b8 unrematted). Inference cost: none
+        # (checkpointing only affects differentiation).
+        cls = nn.remat(_Stack) if self.remat_stages else _Stack
+        return cls(specs, self.conv_kind, self.backend,
+                   self.compute_dtype, self.param_dtype,
+                   tp_shard=self.tp_shard,
+                   fuse_upsample=self.fuse_upsample,
+                   s2d_stem=self.s2d_stem, name=name)
 
     @nn.compact
     def __call__(self, masked, mask) -> GeneratorOutput:
@@ -175,7 +201,7 @@ class CoarseToFineGenerator(nn.Module):
         x1 = jnp.concatenate([masked, mask], axis=-1)
         specs1 = _encoder_specs(f) + _dilation_specs(f) + _decoder_specs(f)
         x1, _ = self._stack(specs1, "coarse")(x1, valid)
-        coarse = jnp.tanh(x1.astype(jnp.float32))
+        coarse = jnp.tanh(x1 if self.bf16_head else x1.astype(jnp.float32))
 
         # ---- stage 2: refinement on the pasted coarse result -----------
         pasted = coarse.astype(masked.dtype) * mask + masked * valid
@@ -214,7 +240,7 @@ class CoarseToFineGenerator(nn.Module):
 
         x2, _ = self._stack(_decoder_specs(f), "refine_dec")(
             x2, valid[:, ::4, ::4, :])
-        fine = jnp.tanh(x2.astype(jnp.float32))
+        fine = jnp.tanh(x2 if self.bf16_head else x2.astype(jnp.float32))
         return GeneratorOutput(coarse=coarse, fine=fine)
 
 
@@ -233,6 +259,9 @@ def build_generator(model_cfg, backend: str | None = None) -> nn.Module:
         param_dtype=policy.param_dtype,
         tp_shard=model_cfg.tp_shard,
         fuse_upsample=model_cfg.fuse_upsample,
+        s2d_stem=model_cfg.s2d_stem,
+        bf16_head=model_cfg.bf16_head,
+        remat_stages=model_cfg.remat_stages,
     )
     if model_cfg.generator == "dilated":
         return DilatedGenerator(**common)

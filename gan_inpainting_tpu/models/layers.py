@@ -47,6 +47,10 @@ class InpaintConv(nn.Module):
     # Only valid for plain/gated 3x3 stride-1 undilated convs; the caller
     # (_Stack) falls back to an explicit upsample otherwise.
     pre_upsample: bool = False
+    # Evaluate a 5x5 stride-1 stem conv in the space-to-depth cell domain
+    # (ops/s2d_conv.py): exact math, same parameter, ~4x the MXU lane
+    # utilization on thin stem inputs. Plain/gated only.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, valid=None):
@@ -59,6 +63,27 @@ class InpaintConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (cout,),
                           self.param_dtype)
         x = x.astype(self.compute_dtype)
+
+        if self.s2d:
+            if (self.conv_kind not in ("plain", "gated")
+                    or self.kernel_size != 5 or self.stride != 1
+                    or self.dilation != 1):
+                raise ValueError("s2d requires a plain/gated 5x5 stride-1 "
+                                 "undilated conv")
+            from gan_inpainting_tpu.ops.s2d_conv import s2d_conv5x5_epilogue
+
+            if self.conv_kind == "gated":
+                def epilogue(m):
+                    m = m + bias.astype(m.dtype)
+                    f, g = jnp.split(m, 2, axis=-1)
+                    return (_activation(self.activation)(f)
+                            * jax.nn.sigmoid(g))
+            else:
+                def epilogue(m):
+                    return _activation(self.activation)(
+                        m + bias.astype(m.dtype))
+            y = s2d_conv5x5_epilogue(x, kernel, epilogue)
+            return y, valid
 
         if self.pre_upsample:
             if (self.conv_kind not in ("plain", "gated")

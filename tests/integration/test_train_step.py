@@ -76,6 +76,29 @@ def test_variants_take_a_finite_step(tiny_config, name, overrides):
     assert _tree_l2_diff(new_state.g_params, state.g_params) > 0
 
 
+def test_remat_stages_is_numerically_transparent(tiny_config):
+    """model.remat_stages changes memory scheduling, not math: one step
+    from identical state must produce identical params and metrics."""
+    cfg = apply_overrides(tiny_config, ["model.generator=coarse_to_fine",
+                                        "model.conv_kind=gated",
+                                        "model.use_attention=true"])
+    cfg_r = apply_overrides(cfg, ["model.remat_stages=true"])
+    batch = _make_batch(cfg)
+    results = []
+    for c in (cfg, cfg_r):
+        state = create_state(c, jax.random.key(0))
+        step = make_train_step(c, donate=False)
+        new_state, metrics = step(state, batch, jax.random.key(1))
+        results.append((new_state, metrics))
+    (s_a, m_a), (s_b, m_b) = results
+    # same param trees (remat configs share checkpoints)
+    assert _tree_l2_diff(s_a.g_params, s_b.g_params) == 0.0
+    assert _tree_l2_diff(s_a.d_params, s_b.d_params) == 0.0
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-6,
+                                   err_msg=k)
+
+
 def test_spectral_stats_update(tiny_config):
     cfg = apply_overrides(tiny_config, ["model.spectral_norm=true"])
     state = create_state(cfg, jax.random.key(0))

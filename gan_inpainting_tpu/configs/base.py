@@ -76,6 +76,9 @@ class DataConfig:
     # of Places2 scale would be ~TBs); "on"/"off" force it.
     loader_cache: str = "auto"    # auto | on | off
     loader_cache_dir: str = ""    # default: ~/.cache/gan_inpainting_tpu
+    # per-sample random horizontal flip at train time, fused into the
+    # on-device preprocess jit (zero host cost). Eval never flips.
+    random_flip: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,11 +43,20 @@ def denormalize(images):
     return jnp.round(x).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(2, 4), donate_argnums=(0,))
 def _make_batch_impl(images_u8, key, mask_cfg: MaskConfig,
-                     progress) -> Batch:
+                     progress, flip: bool) -> Batch:
     b, h, w = images_u8.shape[:3]
     image = normalize(images_u8)
+    if flip:
+        # per-sample horizontal flip, fused into the same device program
+        # (the reference genre's standard train-time augmentation; masks
+        # are synthesized fresh per sample so they need no flipping).
+        # flip=False keeps the pre-flip key derivation bit-exact so the
+        # pinned parity fingerprints and resume tests are unaffected.
+        key, flip_key = jax.random.split(key)
+        bits = jax.random.bernoulli(flip_key, 0.5, (b, 1, 1, 1))
+        image = jnp.where(bits, image[:, :, ::-1, :], image)
     keys = jax.random.split(key, b)
     mask = jax.vmap(
         lambda k: random_mask(k, h, w, mask_cfg, progress))(keys)
@@ -56,11 +65,13 @@ def _make_batch_impl(images_u8, key, mask_cfg: MaskConfig,
 
 
 def make_train_batch(images_u8, key, mask_cfg: MaskConfig,
-                     progress: float = 1.0) -> Batch:
+                     progress: float = 1.0, flip: bool = False) -> Batch:
     """Fuse normalize + mask synthesis + masking into one device program.
 
     ``progress`` in [0, 1] drives the mask curriculum (traced — no
-    recompile per step).
+    recompile per step). ``flip`` adds per-sample random horizontal
+    flips (train-time augmentation; leave off for eval/bench so metrics
+    stay deterministic).
     """
     return _make_batch_impl(jnp.asarray(images_u8), key, mask_cfg,
-                            jnp.float32(progress))
+                            jnp.float32(progress), flip)

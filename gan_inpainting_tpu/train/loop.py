@@ -73,7 +73,8 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
             if n_proc > 1:
                 # disjoint mask streams per process (images differ too)
                 mask_key = jax.random.fold_in(mask_key, jax.process_index())
-            batch = make_train_batch(images, mask_key, cfg.mask, progress)
+            batch = make_train_batch(images, mask_key, cfg.mask, progress,
+                                     flip=cfg.data.random_flip)
             if n_proc > 1:
                 batch = shard_host_batch(mesh, jax.device_get(batch))
             else:

@@ -1,0 +1,59 @@
+"""On-device preprocess pipeline tests (SURVEY.md §4 unit tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_inpainting_tpu.configs.base import MaskConfig
+from gan_inpainting_tpu.data.pipeline import (
+    denormalize,
+    make_train_batch,
+    normalize,
+)
+from gan_inpainting_tpu.data.synthetic import synthetic_batch_u8
+
+
+def _images(b=8, size=32, seed=0):
+    return synthetic_batch_u8(jax.random.key(seed), b, size)
+
+
+def test_normalize_roundtrip():
+    imgs = _images()
+    np.testing.assert_array_equal(np.asarray(denormalize(normalize(imgs))),
+                                  np.asarray(imgs))
+
+
+def test_flip_off_matches_legacy_key_derivation():
+    """flip=False must be bit-exact with the pre-flip pipeline: the pinned
+    parity fingerprints and resume tests depend on this key derivation."""
+    cfg = MaskConfig(kind="freeform")
+    key = jax.random.key(3)
+    a = make_train_batch(_images(), key, cfg)
+    b = make_train_batch(_images(), key, cfg, flip=False)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_flip_on_flips_some_samples_exactly():
+    cfg = MaskConfig(kind="center")
+    key = jax.random.key(5)
+    imgs = _images(b=16)
+    base = make_train_batch(imgs, key, cfg, flip=False)
+    flipped = make_train_batch(imgs, key, cfg, flip=True)
+    img_f = np.asarray(flipped.image)
+    img_b = np.asarray(base.image)
+    same = [bool((img_f[i] == img_b[i]).all()) for i in range(16)]
+    mirrored = [bool((img_f[i] == img_b[i, :, ::-1, :]).all())
+                for i in range(16)]
+    # every sample is either untouched or an exact mirror, and with 16
+    # samples at p=0.5 both outcomes occur (P[fail] = 2 * 2^-16)
+    assert all(s or m for s, m in zip(same, mirrored))
+    assert any(s and not m for s, m in zip(same, mirrored))
+    assert any(m and not s for m, s in zip(mirrored, same))
+    # deterministic under the same key
+    again = make_train_batch(imgs, key, cfg, flip=True)
+    np.testing.assert_array_equal(np.asarray(again.image), img_f)
+    # masked stays consistent with (flipped) image * (1 - mask)
+    np.testing.assert_allclose(
+        np.asarray(flipped.masked),
+        img_f * (1.0 - np.asarray(flipped.mask)), rtol=0, atol=0)

@@ -134,7 +134,8 @@ def _simulate(workdir: str) -> dict:
             mk = streams["masks"].at_step(step)
             parts = [
                 make_train_batch(next(iters[p]), jax.random.fold_in(mk, p),
-                                 cfg.mask, progress)
+                                 cfg.mask, progress,
+                                 flip=cfg.data.random_flip)
                 for p in range(N_PROC)
             ]
             batch = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)

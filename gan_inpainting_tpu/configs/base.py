@@ -121,8 +121,12 @@ class ModelConfig:
     # rematerialize generator stacks in the backward pass (jax.checkpoint
     # via nn.remat): trades ~1 extra forward of FLOPs for the activation
     # memory that bounds batch size at 512². Inference is unaffected
-    # (checkpointing only changes differentiation). See the 512² train
-    # sweep notes in docs/ROOFLINE.md for when the trade wins.
+    # (checkpointing only changes differentiation). Measured (r3, v5e,
+    # places512_sn_vgg): LOSES throughput at 512² — base b8 19.2 img/s vs
+    # remat b8 16.4 / b16 17.6 / b24 17.4 (b8 already fits in HBM and the
+    # MXU is saturated, so the recompute is pure tax; unrematted b16 OOMs).
+    # Off by default; the knob exists for larger models/resolutions or
+    # smaller-HBM parts where fitting a batch at all is the constraint.
     remat_stages: bool = False
     # tensor parallelism: shard activation channels over the mesh's model
     # axis (requires running under jax.set_mesh(mesh); no-op when model=1)

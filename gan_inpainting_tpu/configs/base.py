@@ -154,6 +154,12 @@ class TrainConfig:
     beta1: float = 0.5
     beta2: float = 0.9
     seed: int = 0
+    # exponential moving average of the generator params (Karras/StyleGAN
+    # practice: the EMA generator is what you evaluate and serve — it
+    # smooths over the adversarial oscillation the raw params ride).
+    # 0 = off (state carries no EMA tree; old checkpoints stay loadable).
+    # When on, eval / sample grids / serving all prefer the EMA params.
+    g_ema_decay: float = 0.0
     log_every: int = 50
     eval_every: int = 1000
     checkpoint_every: int = 1000

@@ -53,14 +53,22 @@ class Inpainter:
 
     @classmethod
     def from_checkpoint(cls, cfg: Config, workdir: str | None = None,
-                        mesh=None) -> "Inpainter":
+                        mesh=None, use_ema: bool = True) -> "Inpainter":
+        """``use_ema`` (default): serve the EMA generator params when the
+        checkpoint carries them (cfg.train.g_ema_decay > 0 at train time) —
+        the Karras-practice weights eval also uses; falls back to the raw
+        params otherwise."""
         from gan_inpainting_tpu.io.checkpoint import CheckpointManager
-        from gan_inpainting_tpu.train.state import create_state
+        from gan_inpainting_tpu.train.state import (
+            create_state,
+            ema_generator_params,
+        )
 
         template = create_state(cfg, jax.random.key(0))
         ckpt = CheckpointManager(workdir or cfg.train.workdir)
         state = ckpt.restore(template)
-        return cls(cfg, state.g_params, mesh=mesh)
+        params = ema_generator_params(state) if use_ema else state.g_params
+        return cls(cfg, params, mesh=mesh)
 
     # ------------------------------------------------------------------
     def _build_forward(self, batch: int, size: int):

@@ -21,7 +21,7 @@ from gan_inpainting_tpu.io.metrics_writer import MetricsWriter
 from gan_inpainting_tpu.parallel.mesh import build_mesh
 from gan_inpainting_tpu.parallel.sharding import replicated, shard_batch
 from gan_inpainting_tpu.train.evaluate import evaluate, make_eval_step
-from gan_inpainting_tpu.train.state import create_state
+from gan_inpainting_tpu.train.state import create_state, ema_generator_params
 from gan_inpainting_tpu.train.step import make_train_step
 from gan_inpainting_tpu.utils.rng import make_streams
 
@@ -101,7 +101,9 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
             if next_step % cfg.train.eval_every == 0 or next_step == cfg.train.steps:
                 # all processes participate (SPMD over global arrays);
                 # only the main process writes
-                ev = evaluate(cfg, state.g_params, eval_step=eval_step)
+                # EMA params when tracked (cfg.train.g_ema_decay > 0)
+                ev = evaluate(cfg, ema_generator_params(state),
+                              eval_step=eval_step)
                 if is_main:
                     writer.scalars(next_step, {f"eval_{k}": v
                                                for k, v in ev.items()})
@@ -130,8 +132,8 @@ def _dump_samples(cfg: Config, state, writer: MetricsWriter, step: int,
     batch = make_train_batch(next(it), streams["eval"].at_step(step),
                              cfg.mask)
     generator = build_generator(cfg.model)
-    out = generator.apply({"params": state.g_params}, batch.masked,
-                          batch.mask)
+    out = generator.apply({"params": ema_generator_params(state)},
+                          batch.masked, batch.mask)
     comp = composite(out.fine, batch.image, batch.mask)
     row = np.concatenate([
         np.asarray(denormalize(batch.masked)),

@@ -27,6 +27,15 @@ class GANTrainState(flax.struct.PyTreeNode):
     d_params: Any
     d_opt: Any
     d_stats: Any        # spectral-norm collection ({} when SN is off)
+    g_ema: Any = None   # EMA generator params ({} when g_ema_decay == 0)
+
+
+def ema_generator_params(state: GANTrainState):
+    """The params eval/serving should use: EMA when tracked, else raw."""
+    ema = getattr(state, "g_ema", None)
+    if ema is None or not jax.tree_util.tree_leaves(ema):
+        return state.g_params
+    return ema
 
 
 def make_optimizers(cfg: Config):
@@ -54,6 +63,10 @@ def create_state(cfg: Config, key) -> GANTrainState:
     d_params = d_vars["params"]
     d_stats = d_vars.get("spectral", {})
 
+    # EMA starts as a copy of the raw params (no bias correction needed)
+    g_ema = (jax.tree.map(jnp.copy, g_params)
+             if cfg.train.g_ema_decay > 0 else {})
+
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,
@@ -61,4 +74,5 @@ def create_state(cfg: Config, key) -> GANTrainState:
         d_params=d_params,
         d_opt=d_tx.init(d_params),
         d_stats=d_stats,
+        g_ema=g_ema,
     )

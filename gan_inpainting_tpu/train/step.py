@@ -141,11 +141,19 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
                                            state.g_params)
         new_g_params = optax.apply_updates(state.g_params, g_updates)
 
+        ema_decay = cfg.train.g_ema_decay
+        new_g_ema = state.g_ema
+        if ema_decay > 0:
+            with jax.named_scope("g_ema"):
+                new_g_ema = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    state.g_ema, new_g_params)
+
         new_state = state.replace(
             step=state.step + 1,
             g_params=new_g_params, g_opt=new_g_opt,
             d_params=new_d_params, d_opt=new_d_opt,
-            d_stats=new_stats)
+            d_stats=new_stats, g_ema=new_g_ema)
         metrics = {
             "d_loss": d_loss_val,
             "g_loss": g_loss_val,

@@ -1,7 +1,8 @@
 """CLI (reference R17): ``python -m gan_inpainting_tpu <cmd> [--config NAME]
 [section.key=value ...]``.
 
-Subcommands: train | eval | infer | bench | configs.
+Subcommands: train | eval | infer | serve | bench | profile | parity |
+configs.
 """
 
 from __future__ import annotations
@@ -37,6 +38,14 @@ def main(argv=None) -> int:
     p_inf.add_argument("--mask", required=True,
                        help="mask image file; nonzero pixels = hole")
     p_inf.add_argument("--output", required=True)
+
+    p_srv = sub.add_parser(
+        "serve", help="batched HTTP inpainting service (infer/service.py)")
+    _add_common(p_srv)
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8763)
+    p_srv.add_argument("--max-wait-ms", type=float, default=5.0,
+                       help="micro-batcher straggler window")
 
     p_bench = sub.add_parser("bench", help="throughput benchmarks")
     _add_common(p_bench)
@@ -121,6 +130,13 @@ def main(argv=None) -> int:
         out = Inpainter.from_checkpoint(cfg)(image, mask.astype(np.float32))
         Image.fromarray(out).save(args.output)
         print(f"wrote {args.output}")
+        return 0
+
+    if args.cmd == "serve":
+        from gan_inpainting_tpu.infer.service import serve
+
+        serve(cfg, host=args.host, port=args.port,
+              max_wait_ms=args.max_wait_ms)
         return 0
 
     if args.cmd == "bench":

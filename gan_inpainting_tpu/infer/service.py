@@ -1,0 +1,233 @@
+"""Batched inpainting service (BASELINE.json:11; SURVEY.md N12 serving).
+
+Two tiers on top of :class:`~gan_inpainting_tpu.infer.inpaint.Inpainter`:
+
+* :class:`InpaintService` — a dynamic micro-batcher. Concurrent callers
+  submit single (image, mask) requests; a dispatcher thread coalesces the
+  queue into one ``inpaint_batch`` call per size bucket (up to
+  ``max_batch``, waiting at most ``max_wait_ms`` for stragglers), so the
+  TPU sees large batches — where its throughput lives (bench: 256² serve
+  saturates near batch 128) — while callers keep a single-request API.
+* :func:`serve` — a minimal stdlib HTTP front (JSON + base64 PNG bodies)
+  for smoke deployments and the ``serve`` CLI subcommand. Production
+  deployments are expected to put a real frontend in front of
+  :class:`InpaintService`; the micro-batcher is the TPU-relevant part.
+
+Requests inside one dispatch MUST share a size bucket (XLA static shapes);
+the dispatcher groups the queue head's bucket and leaves other sizes for
+the next cycle, so mixed-size traffic degrades to per-bucket batches
+rather than erroring.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+
+import numpy as np
+
+from gan_inpainting_tpu.infer.inpaint import Inpainter, _bucket
+
+
+@dataclass
+class _Request:
+    image: np.ndarray          # (H, W, 3) uint8
+    mask: np.ndarray           # (H, W, 1) float32
+    bucket: int                # size bucket this request pads to
+    future: Future
+
+
+class InpaintService:
+    """Thread-safe dynamic batcher over an :class:`Inpainter`."""
+
+    def __init__(self, inpainter: Inpainter, *, max_batch: int | None = None,
+                 max_wait_ms: float = 5.0):
+        self._inpainter = inpainter
+        icfg = inpainter.cfg.infer
+        self._max_batch = (max(icfg.batch_buckets) if max_batch is None
+                           else max_batch)
+        self._max_wait = max_wait_ms / 1e3
+        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        self._dispatch_count = 0      # forwarded batches (for tests/stats)
+        self._request_count = 0
+        self._closed = False
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, image, mask) -> Future:
+        """Enqueue one request; resolves to the (H, W, 3) uint8 result."""
+        if self._closed:
+            raise RuntimeError("service is closed")
+        image = np.asarray(image, np.uint8)
+        mask = np.asarray(mask, np.float32)
+        if mask.ndim == 2:
+            mask = mask[..., None]
+        if image.ndim != 3 or image.shape[-1] != 3:
+            raise ValueError(f"image must be (H, W, 3) uint8, got "
+                             f"{image.shape}")
+        if mask.shape[:2] != image.shape[:2]:
+            raise ValueError(f"mask shape {mask.shape[:2]} does not match "
+                             f"image {image.shape[:2]}")
+        bucket = _bucket(max(image.shape[:2]),
+                         self._inpainter.cfg.infer.size_buckets)
+        fut: Future = Future()
+        self._queue.put(_Request(image, mask, bucket, fut))
+        return fut
+
+    def inpaint(self, image, mask) -> np.ndarray:
+        """Blocking single-request API."""
+        return self.submit(image, mask).result()
+
+    def close(self):
+        self._closed = True
+        self._queue.put(None)
+        self._thread.join()
+
+    @property
+    def stats(self) -> dict:
+        return {"requests": self._request_count,
+                "dispatches": self._dispatch_count}
+
+    # ------------------------------------------------------------------
+    def _dispatch_loop(self):
+        pending: list[_Request] = []
+        while True:
+            # block for the first request (or shutdown)
+            if not pending:
+                item = self._queue.get()
+                if item is None:
+                    return
+                pending.append(item)
+            # coalesce stragglers sharing the head's size bucket; other
+            # buckets wait for the next cycle (static shapes per dispatch)
+            bucket = pending[0].bucket
+            batch = [r for r in pending if r.bucket == bucket]
+            rest = [r for r in pending if r.bucket != bucket]
+            t0 = time.perf_counter()
+            while len(batch) < self._max_batch:
+                remaining = self._max_wait - (time.perf_counter() - t0)
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._run_batch(batch)
+                    for r in rest:
+                        r.future.set_exception(RuntimeError("service closed"))
+                    return
+                if item.bucket == bucket:
+                    batch.append(item)
+                else:
+                    rest.append(item)
+            self._run_batch(batch)
+            pending = rest
+
+    def _run_batch(self, batch: list[_Request]):
+        if not batch:
+            return
+        sb = batch[0].bucket
+        n = len(batch)
+        images = np.zeros((n, sb, sb, 3), np.uint8)
+        masks = np.zeros((n, sb, sb, 1), np.float32)
+        for i, r in enumerate(batch):
+            h, w = r.image.shape[:2]
+            images[i, :h, :w] = r.image
+            masks[i, :h, :w] = r.mask
+        try:
+            out = self._inpainter.inpaint_batch(images, masks)
+        except Exception as e:          # noqa: BLE001 — propagate per-request
+            for r in batch:
+                r.future.set_exception(e)
+            return
+        self._dispatch_count += 1
+        self._request_count += n
+        for i, r in enumerate(batch):
+            h, w = r.image.shape[:2]
+            r.future.set_result(out[i, :h, :w])
+
+
+# ---------------------------------------------------------------------------
+# Minimal HTTP front (stdlib only)
+# ---------------------------------------------------------------------------
+
+
+def _png_decode(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(base64.b64decode(b64))))
+
+
+def _png_encode(arr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def make_http_server(service: InpaintService, host: str = "127.0.0.1",
+                     port: int = 8763):
+    """HTTP front: POST /inpaint {"image": <b64 png>, "mask": <b64 png>}
+    → {"output": <b64 png>}; GET /healthz → stats. Returns the (unstarted)
+    ``http.server.ThreadingHTTPServer``."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):   # quiet by default
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, **service.stats})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/inpaint":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                image = _png_decode(req["image"])
+                mask = _png_decode(req["mask"])
+                if mask.ndim == 3:
+                    mask = mask[..., 0]
+                out = service.inpaint(image, (mask > 127).astype(np.float32))
+                self._json(200, {"output": _png_encode(out)})
+            except Exception as e:      # noqa: BLE001 — HTTP boundary
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(cfg, workdir: str | None = None, host: str = "127.0.0.1",
+          port: int = 8763, *, max_wait_ms: float = 5.0):
+    """Blocking entry point for the ``serve`` CLI subcommand."""
+    inpainter = Inpainter.from_checkpoint(cfg, workdir)
+    service = InpaintService(inpainter, max_wait_ms=max_wait_ms)
+    server = make_http_server(service, host, port)
+    print(f"[serve] inpaint service on http://{host}:{port} "
+          f"(config {cfg.name}, buckets {cfg.infer.size_buckets})")
+    try:
+        server.serve_forever()
+    finally:
+        service.close()

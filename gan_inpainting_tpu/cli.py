@@ -30,14 +30,24 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     _add_common(sub.add_parser("train", help="run GAN training"))
-    _add_common(sub.add_parser("eval", help="PSNR/SSIM on held-out data"))
+    p_eval = sub.add_parser("eval", help="PSNR/SSIM on held-out data")
+    _add_common(p_eval)
+    p_eval.add_argument("--best", action="store_true",
+                        help="evaluate the best-PSNR retention checkpoint")
 
-    p_inf = sub.add_parser("infer", help="inpaint one image file")
+    p_inf = sub.add_parser(
+        "infer", help="inpaint one image file, or a directory of "
+        "filename-paired images and masks")
     _add_common(p_inf)
-    p_inf.add_argument("--image", required=True)
+    p_inf.add_argument("--image", required=True,
+                       help="image file, or directory of images")
     p_inf.add_argument("--mask", required=True,
-                       help="mask image file; nonzero pixels = hole")
-    p_inf.add_argument("--output", required=True)
+                       help="mask file/directory; nonzero pixels = hole; "
+                       "directory masks pair with images by filename")
+    p_inf.add_argument("--output", required=True,
+                       help="output file (single) or directory (batch)")
+    p_inf.add_argument("--best", action="store_true",
+                       help="use the best-PSNR retention checkpoint")
 
     p_srv = sub.add_parser(
         "serve", help="batched HTTP inpainting service (infer/service.py)")
@@ -115,19 +125,32 @@ def main(argv=None) -> int:
         from gan_inpainting_tpu.infer.inpaint import Inpainter
         from gan_inpainting_tpu.train.evaluate import evaluate
 
-        inp = Inpainter.from_checkpoint(cfg)
+        inp = Inpainter.from_checkpoint(cfg, best=args.best)
         print(json.dumps(evaluate(cfg, inp.g_params)))
         return 0
 
     if args.cmd == "infer":
+        import pathlib
+
         import numpy as np
         from PIL import Image
 
         from gan_inpainting_tpu.infer.inpaint import Inpainter
 
+        image_path = pathlib.Path(args.image)
+        inpainter = Inpainter.from_checkpoint(cfg, best=args.best)
+
+        if image_path.is_dir():
+            from gan_inpainting_tpu.infer.batch_files import inpaint_dir
+
+            n = inpaint_dir(inpainter, image_path, pathlib.Path(args.mask),
+                            pathlib.Path(args.output))
+            print(f"wrote {n} images to {args.output}")
+            return 0
+
         image = np.asarray(Image.open(args.image).convert("RGB"))
         mask = (np.asarray(Image.open(args.mask).convert("L")) > 0)
-        out = Inpainter.from_checkpoint(cfg)(image, mask.astype(np.float32))
+        out = inpainter(image, mask.astype(np.float32))
         Image.fromarray(out).save(args.output)
         print(f"wrote {args.output}")
         return 0

@@ -164,6 +164,11 @@ class TrainConfig:
     eval_every: int = 1000
     checkpoint_every: int = 1000
     max_checkpoints: int = 3
+    # additionally retain the best-eval-PSNR checkpoint under
+    # workdir/checkpoints_best (GAN curves oscillate — r3's 12k-step run
+    # peaked at step 11000, 1.9 dB above its final step; without this the
+    # retention window had already dropped the peak). Tracked metric: psnr.
+    keep_best: bool = True
     workdir: str = "/tmp/gan_inpainting_tpu"
     mesh: MeshConfig = MeshConfig()
 

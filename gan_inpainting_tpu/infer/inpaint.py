@@ -53,11 +53,14 @@ class Inpainter:
 
     @classmethod
     def from_checkpoint(cls, cfg: Config, workdir: str | None = None,
-                        mesh=None, use_ema: bool = True) -> "Inpainter":
+                        mesh=None, use_ema: bool = True,
+                        best: bool = False) -> "Inpainter":
         """``use_ema`` (default): serve the EMA generator params when the
         checkpoint carries them (cfg.train.g_ema_decay > 0 at train time) —
         the Karras-practice weights eval also uses; falls back to the raw
-        params otherwise."""
+        params otherwise. ``best``: load the best-eval-PSNR retention slot
+        (workdir/checkpoints_best, written when train.keep_best) instead of
+        the latest checkpoint."""
         from gan_inpainting_tpu.io.checkpoint import CheckpointManager
         from gan_inpainting_tpu.train.state import (
             create_state,
@@ -65,7 +68,8 @@ class Inpainter:
         )
 
         template = create_state(cfg, jax.random.key(0))
-        ckpt = CheckpointManager(workdir or cfg.train.workdir)
+        subdir = "checkpoints_best" if best else "checkpoints"
+        ckpt = CheckpointManager(workdir or cfg.train.workdir, subdir=subdir)
         state = ckpt.restore(template)
         params = ema_generator_params(state) if use_ema else state.g_params
         return cls(cfg, params, mesh=mesh)

@@ -21,8 +21,9 @@ if TYPE_CHECKING:  # import cycle: train.state -> ... -> io.checkpoint
 
 
 class CheckpointManager:
-    def __init__(self, workdir: str, max_to_keep: int = 3):
-        self.path = pathlib.Path(workdir) / "checkpoints"
+    def __init__(self, workdir: str, max_to_keep: int = 3,
+                 subdir: str = "checkpoints"):
+        self.path = pathlib.Path(workdir) / subdir
         self.path.mkdir(parents=True, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.path.resolve(),

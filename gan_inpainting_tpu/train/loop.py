@@ -53,6 +53,22 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
         if verbose:
             print(f"[train] resumed from step {int(state.step)}")
 
+    # best-eval-PSNR retention (train.keep_best): a second single-slot
+    # manager + a small json of the best metrics, resume-aware
+    track_best = cfg.train.keep_best and "psnr" in cfg.eval.metrics
+    best_ckpt = best_path = None
+    best_psnr = float("-inf")
+    if track_best:
+        import json as _json
+        import pathlib as _pathlib
+
+        best_ckpt = CheckpointManager(cfg.train.workdir, max_to_keep=1,
+                                      subdir="checkpoints_best")
+        best_path = _pathlib.Path(cfg.train.workdir) / "best.json"
+        if resume and best_path.exists():
+            best_psnr = _json.loads(best_path.read_text()).get(
+                "psnr", float("-inf"))
+
     writer = MetricsWriter(cfg.train.workdir) if is_main else None
     train_step = make_train_step(cfg)
     eval_step = make_eval_step(cfg)
@@ -109,6 +125,17 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
                                                for k, v in ev.items()})
                 if verbose:
                     print(f"[train] eval@{next_step}: {ev}")
+                if track_best and ev.get("psnr", float("-inf")) > best_psnr:
+                    best_psnr = ev["psnr"]
+                    best_ckpt.save(next_step, state, cfg)
+                    if is_main:
+                        import json as _json
+
+                        best_path.write_text(_json.dumps(
+                            {"step": next_step, **ev}, indent=2) + "\n")
+                    if verbose:
+                        print(f"[train] new best psnr {best_psnr:.3f} "
+                              f"@ {next_step} -> checkpoints_best")
                 if n_proc == 1:
                     _dump_samples(cfg, state, writer, next_step, streams)
 
@@ -116,6 +143,8 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
                 ckpt.save(next_step, state, cfg)
 
     ckpt.wait()
+    if best_ckpt is not None:
+        best_ckpt.wait()
     if is_main:
         writer.close()
     return state, metrics

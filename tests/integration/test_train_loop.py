@@ -36,6 +36,22 @@ def test_train_loop_end_to_end(loop_config):
     # checkpoints exist
     assert (workdir / "checkpoints").exists()
 
+    # best-PSNR retention (train.keep_best, on by default): the slot and
+    # its metrics json exist, and the stored psnr matches an eval record
+    best = json.loads((workdir / "best.json").read_text())
+    assert best["step"] in (2, 4) and "psnr" in best
+    eval_psnrs = [r["eval_psnr"] for r in records if "eval_psnr" in r]
+    assert best["psnr"] == max(eval_psnrs)
+    from gan_inpainting_tpu.io.checkpoint import CheckpointManager
+    from gan_inpainting_tpu.train.state import create_state
+
+    import jax
+
+    best_mgr = CheckpointManager(str(workdir), subdir="checkpoints_best")
+    assert best_mgr.latest_step() == best["step"]
+    restored = best_mgr.restore(create_state(loop_config, jax.random.key(1)))
+    assert int(restored.step) == best["step"]
+
     # resume: calling train again continues from step 4 (== no-op here)
     state2, _ = train(loop_config, verbose=False)
     assert int(state2.step) == 4

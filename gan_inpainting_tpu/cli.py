@@ -48,6 +48,18 @@ def main(argv=None) -> int:
                        help="output file (single) or directory (batch)")
     p_inf.add_argument("--best", action="store_true",
                        help="use the best-PSNR retention checkpoint")
+    p_inf.add_argument("--weights", default=None,
+                       help="exported .npz artifact instead of a checkpoint "
+                       "(its embedded config wins; overrides still apply)")
+
+    p_exp = sub.add_parser(
+        "export", help="write the generator to a portable .npz artifact")
+    _add_common(p_exp)
+    p_exp.add_argument("--output", required=True, help="output .npz path")
+    p_exp.add_argument("--best", action="store_true",
+                       help="export the best-PSNR retention checkpoint")
+    p_exp.add_argument("--raw", action="store_true",
+                       help="export raw params even when EMA is tracked")
 
     p_srv = sub.add_parser(
         "serve", help="batched HTTP inpainting service (infer/service.py)")
@@ -138,7 +150,11 @@ def main(argv=None) -> int:
         from gan_inpainting_tpu.infer.inpaint import Inpainter
 
         image_path = pathlib.Path(args.image)
-        inpainter = Inpainter.from_checkpoint(cfg, best=args.best)
+        if args.weights:
+            inpainter = Inpainter.from_npz(args.weights,
+                                           overrides=args.overrides)
+        else:
+            inpainter = Inpainter.from_checkpoint(cfg, best=args.best)
 
         if image_path.is_dir():
             from gan_inpainting_tpu.infer.batch_files import inpaint_dir
@@ -152,6 +168,14 @@ def main(argv=None) -> int:
         mask = (np.asarray(Image.open(args.mask).convert("L")) > 0)
         out = inpainter(image, mask.astype(np.float32))
         Image.fromarray(out).save(args.output)
+        print(f"wrote {args.output}")
+        return 0
+
+    if args.cmd == "export":
+        from gan_inpainting_tpu.io.export import export_from_checkpoint
+
+        export_from_checkpoint(cfg, args.output, use_ema=not args.raw,
+                               best=args.best)
         print(f"wrote {args.output}")
         return 0
 

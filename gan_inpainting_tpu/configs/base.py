@@ -154,6 +154,29 @@ class TrainConfig:
     beta1: float = 0.5
     beta2: float = 0.9
     seed: int = 0
+    # learning-rate schedule, applied to BOTH optimizers (each scaled from
+    # its own base g_lr/d_lr): constant | cosine | linear. The default
+    # (constant, no warmup) keeps the optimizer state tree identical to
+    # pre-schedule checkpoints, so old checkpoints stay loadable.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0         # linear 0 -> base_lr warmup prefix
+    lr_decay_steps: int = 0       # decay horizon (0 = train.steps)
+    lr_end_factor: float = 0.0    # lr at the horizon, as a fraction of base
+    # gradient accumulation: split each global batch into this many
+    # micro-batches inside the jitted step (lax.scan), average the grads,
+    # update once. Activation memory scales with batch/grad_accum while the
+    # optimizer sees the full-batch gradient — the knob for batch sizes
+    # whose activations don't fit HBM (512²+). Exact same math as the
+    # full-batch step for mean losses (f32-tested); with spectral norm the
+    # power iteration advances once per micro-batch instead of once.
+    grad_accum: int = 1
+    # warm-start: initialize G (and D, see init_from_d) parameters from an
+    # existing run's checkpoint instead of random init. Fine-tuning path:
+    # step restarts at 0 with fresh optimizer states. Ignored when this
+    # run's own workdir already has a checkpoint to resume.
+    init_from: str = ""           # source workdir (its checkpoints/ subdir)
+    init_from_best: bool = False  # use the source's checkpoints_best slot
+    init_from_d: bool = True      # also graft discriminator params + stats
     # exponential moving average of the generator params (Karras/StyleGAN
     # practice: the EMA generator is what you evaluate and serve — it
     # smooths over the adversarial oscillation the raw params ride).
@@ -298,6 +321,39 @@ _REGISTRY = {
     "places512_sn_vgg": _places512_sn_vgg,
     "serve_v4_8": _serve_v4_8,
 }
+
+
+def config_from_dict(d: dict) -> Config:
+    """Rebuild a :class:`Config` from ``dataclasses.asdict`` output (the
+    form embedded in checkpoints and export artifacts). JSON round-trips
+    turn tuples into lists; field types are restored from the dataclass
+    declarations."""
+
+    import typing
+
+    def build(cls, values: dict):
+        # `from __future__ import annotations` stringifies field types;
+        # resolve them so nested dataclasses (MeshConfig) reconstruct
+        hints = typing.get_type_hints(cls)
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in values:
+                continue  # field added after the artifact was written
+            v = values[f.name]
+            ftype = hints.get(f.name, f.type)
+            if (isinstance(ftype, type) and dataclasses.is_dataclass(ftype)
+                    and isinstance(v, dict)):
+                kwargs[f.name] = build(ftype, v)
+            elif isinstance(v, list):
+                default = f.default
+                elem = (type(default[0]) if isinstance(default, tuple)
+                        and default else str)
+                kwargs[f.name] = tuple(elem(e) for e in v)
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+
+    return build(Config, d)
 
 
 def list_configs() -> list[str]:

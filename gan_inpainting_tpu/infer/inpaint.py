@@ -74,6 +74,21 @@ class Inpainter:
         params = ema_generator_params(state) if use_ema else state.g_params
         return cls(cfg, params, mesh=mesh)
 
+    @classmethod
+    def from_npz(cls, path: str, mesh=None,
+                 overrides: list[str] | None = None) -> "Inpainter":
+        """Serve from a portable export artifact (io/export.py): the
+        generator params plus the embedded config, no Orbax checkpoint
+        tree needed. ``overrides`` apply on top of the embedded config
+        (e.g. different infer buckets on the serving host)."""
+        from gan_inpainting_tpu.configs.base import apply_overrides
+        from gan_inpainting_tpu.io.export import load_generator
+
+        cfg, params = load_generator(path)
+        if overrides:
+            cfg = apply_overrides(cfg, list(overrides))
+        return cls(cfg, params, mesh=mesh)
+
     # ------------------------------------------------------------------
     def _build_forward(self, batch: int, size: int):
         """One compiled program per (batch, size) bucket."""

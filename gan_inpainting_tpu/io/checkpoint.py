@@ -55,6 +55,21 @@ class CheckpointManager:
         )
         return restored["state"]
 
+    def restore_raw(self, step: int | None = None):
+        """Restore the saved state as plain nested dicts/arrays, no template.
+
+        Warm-start path (train.init_from): the source run's optimizer or
+        EMA layout may differ from this run's, so the full-state
+        :meth:`restore` template would mismatch; callers graft the param
+        subtrees they need.
+        """
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.path}")
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore()))
+        return restored["state"]
+
     def restore_config(self, step: int | None = None) -> dict:
         step = self._mgr.latest_step() if step is None else step
         restored = self._mgr.restore(

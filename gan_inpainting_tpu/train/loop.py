@@ -45,13 +45,22 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
     streams = make_streams(cfg.train.seed)
 
     state = create_state(cfg, streams["params"].at_step(0))
-    state = jax.device_put(state, replicated(mesh))
 
     ckpt = CheckpointManager(cfg.train.workdir, cfg.train.max_checkpoints)
     if resume and ckpt.latest_step() is not None:
+        state = jax.device_put(state, replicated(mesh))
         state = ckpt.restore(state)
         if verbose:
             print(f"[train] resumed from step {int(state.step)}")
+    else:
+        if cfg.train.init_from:
+            from gan_inpainting_tpu.train.state import warm_start
+
+            state = warm_start(state, cfg)
+            if verbose:
+                print(f"[train] warm-started params from "
+                      f"{cfg.train.init_from}")
+        state = jax.device_put(state, replicated(mesh))
 
     # best-eval-PSNR retention (train.keep_best): a second single-slot
     # manager + a small json of the best metrics, resume-aware

@@ -38,9 +38,89 @@ def ema_generator_params(state: GANTrainState):
     return ema
 
 
+def warm_start(state: GANTrainState, cfg: Config) -> GANTrainState:
+    """Graft parameters from ``cfg.train.init_from`` into a fresh state.
+
+    Fine-tuning semantics: G params (and, with ``train.init_from_d``, D
+    params + spectral stats) come from the source checkpoint; step and both
+    optimizer states stay fresh. The source may have a different optimizer /
+    EMA layout — only the grafted subtrees must match, and a mismatch there
+    (different architecture) fails loudly.
+    """
+    from gan_inpainting_tpu.io.checkpoint import CheckpointManager
+
+    subdir = ("checkpoints_best" if cfg.train.init_from_best
+              else "checkpoints")
+    src = CheckpointManager(cfg.train.init_from, subdir=subdir)
+    raw = src.restore_raw()
+
+    def graft(name: str, target, source):
+        t_shapes = jax.tree.map(lambda x: (jnp.shape(x), jnp.result_type(x)),
+                                target)
+        s_shapes = jax.tree.map(lambda x: (jnp.shape(x), jnp.result_type(x)),
+                                source)
+        if t_shapes != s_shapes:
+            raise ValueError(
+                f"train.init_from={cfg.train.init_from!r}: {name} tree does "
+                f"not match this config's architecture\n  want {t_shapes}\n"
+                f"  got  {s_shapes}")
+        return jax.tree.map(jnp.asarray, source)
+
+    g_params = graft("g_params", state.g_params, raw["g_params"])
+    updates = {"g_params": g_params}
+
+    if jax.tree_util.tree_leaves(state.g_ema):
+        src_ema = raw.get("g_ema")
+        if src_ema is not None and jax.tree_util.tree_leaves(src_ema):
+            updates["g_ema"] = graft("g_ema", state.g_ema, src_ema)
+        else:  # source didn't track EMA: start it from the grafted params
+            updates["g_ema"] = jax.tree.map(jnp.copy, g_params)
+
+    if cfg.train.init_from_d:
+        updates["d_params"] = graft("d_params", state.d_params,
+                                    raw["d_params"])
+        src_stats = raw.get("d_stats")
+        if (jax.tree_util.tree_leaves(state.d_stats)
+                and src_stats is not None
+                and jax.tree_util.tree_leaves(src_stats)):
+            updates["d_stats"] = graft("d_stats", state.d_stats, src_stats)
+
+    return state.replace(**updates)
+
+
+def make_lr_schedule(cfg: Config, base_lr: float):
+    """Per-step learning rate for ``train.lr_schedule``.
+
+    Returns the plain float when the config asks for constant-without-warmup
+    so the default optimizer state tree (and therefore every pre-schedule
+    checkpoint) is unchanged; otherwise an optax schedule callable.
+    """
+    tc = cfg.train
+    if tc.lr_schedule == "constant" and tc.warmup_steps == 0:
+        return base_lr
+    horizon = (tc.lr_decay_steps or tc.steps) - tc.warmup_steps
+    horizon = max(horizon, 1)
+    end = base_lr * tc.lr_end_factor
+    if tc.lr_schedule == "constant":
+        sched = optax.constant_schedule(base_lr)
+    elif tc.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(base_lr, horizon,
+                                            alpha=tc.lr_end_factor)
+    elif tc.lr_schedule == "linear":
+        sched = optax.linear_schedule(base_lr, end, horizon)
+    else:
+        raise ValueError(
+            f"train.lr_schedule={tc.lr_schedule!r}: want constant|cosine|linear")
+    if tc.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, base_lr, tc.warmup_steps)
+        sched = optax.join_schedules([warmup, sched], [tc.warmup_steps])
+    return sched
+
+
 def make_optimizers(cfg: Config):
-    def adam(lr):
-        return optax.adam(lr, b1=cfg.train.beta1, b2=cfg.train.beta2)
+    def adam(base_lr):
+        return optax.adam(make_lr_schedule(cfg, base_lr),
+                          b1=cfg.train.beta1, b2=cfg.train.beta2)
 
     return adam(cfg.train.g_lr), adam(cfg.train.d_lr)
 

@@ -77,6 +77,134 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
         return discriminator.apply(variables, images, masks,
                                    update_stats=False), d_stats
 
+    accum = cfg.train.grad_accum
+
+    def g_loss_terms(g_params, b: Batch, d_params, d_stats):
+        """G total loss + aux on one (micro-)batch against a frozen D."""
+        gen = g_forward(g_params, b)
+        comp = composite(gen.fine, b.image, b.mask)
+        logits, _ = d_forward(d_params, d_stats, comp, b.mask,
+                              update_stats=False)
+        adv = adversarial.g_loss(logits, adv_kind)
+
+        rec = l1_loss(gen.fine, b.image, b.mask,
+                      hole_weight=cfg.loss.l1_hole_weight,
+                      valid_weight=cfg.loss.l1_valid_weight,
+                      discount_gamma=cfg.loss.spatial_discount)
+        if gen.coarse is not None:
+            rec = rec + l1_loss(gen.coarse, b.image, b.mask,
+                                hole_weight=cfg.loss.l1_hole_weight,
+                                valid_weight=cfg.loss.l1_valid_weight,
+                                discount_gamma=cfg.loss.spatial_discount)
+
+        perc = style = jnp.asarray(0.0, jnp.float32)
+        if use_vgg:
+            perc, style = perceptual_and_style_loss(
+                vgg_apply, vgg_params, comp, b.image)
+
+        total = (cfg.loss.gan_weight * adv
+                 + cfg.loss.l1_weight * rec
+                 + cfg.loss.perceptual_weight * perc
+                 + cfg.loss.style_weight * style)
+        aux = {"g_adv": adv, "g_l1": rec, "g_perceptual": perc,
+               "g_style": style}
+        return total, aux
+
+    def accum_step(state: GANTrainState, batch: Batch, key):
+        """grad_accum > 1: scan micro-batches, average grads, update once.
+
+        Identical math to the full-batch step for the mean-reduced losses
+        (micro-means of equal slices average to the batch mean); the one
+        semantic difference is spectral norm, whose power iteration
+        advances once per micro-batch (documented on the config knob).
+        Activation memory scales with batch/grad_accum.
+        """
+        del key
+        if batch.image.shape[0] % accum:
+            raise ValueError(
+                f"train.grad_accum={accum} does not divide batch size "
+                f"{batch.image.shape[0]}")
+
+        def micro(tree):
+            return jax.tree.map(
+                lambda x: x.reshape((accum, x.shape[0] // accum)
+                                    + x.shape[1:]), tree)
+
+        mbs = micro(batch)
+
+        # ---------------- D phase ----------------------------------------
+        def d_scan(carry, mb: Batch):
+            stats, gsum = carry
+            with jax.named_scope("g_forward_detached"):
+                out = g_forward(state.g_params, mb)
+            fake = jax.lax.stop_gradient(
+                composite(out.fine, mb.image, mb.mask))
+
+            def d_loss_fn(d_params):
+                both = jnp.concatenate([mb.image, fake], axis=0)
+                masks2 = jnp.concatenate([mb.mask, mb.mask], axis=0)
+                logits, new_stats = d_forward(d_params, stats, both, masks2,
+                                              update_stats=True)
+                real_logits, fake_logits = jnp.split(logits, 2, axis=0)
+                loss = adversarial.d_loss(real_logits, fake_logits, adv_kind)
+                return loss, (new_stats, jnp.mean(real_logits),
+                              jnp.mean(fake_logits))
+
+            (loss, (new_stats, d_real, d_fake)), grads = (
+                jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (new_stats, gsum), (loss, d_real, d_fake)
+
+        zeros_d = jax.tree.map(jnp.zeros_like, state.d_params)
+        with jax.named_scope("d_accum"):
+            (new_stats, d_gsum), (d_losses, d_reals, d_fakes) = jax.lax.scan(
+                d_scan, (state.d_stats, zeros_d), mbs)
+        d_grads = jax.tree.map(lambda g: g / accum, d_gsum)
+        d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt,
+                                           state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---------------- G phase (vs the updated D) ----------------------
+        def g_scan(gsum, mb: Batch):
+            def g_loss_fn(g_params):
+                return g_loss_terms(g_params, mb, new_d_params, new_stats)
+
+            (loss, aux), grads = (
+                jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params))
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return gsum, (loss, aux)
+
+        zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)
+        with jax.named_scope("g_accum"):
+            g_gsum, (g_losses, g_auxes) = jax.lax.scan(
+                g_scan, zeros_g, mbs)
+        g_grads = jax.tree.map(lambda g: g / accum, g_gsum)
+        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt,
+                                           state.g_params)
+        new_g_params = optax.apply_updates(state.g_params, g_updates)
+
+        ema_decay = cfg.train.g_ema_decay
+        new_g_ema = state.g_ema
+        if ema_decay > 0:
+            with jax.named_scope("g_ema"):
+                new_g_ema = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    state.g_ema, new_g_params)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=new_g_params, g_opt=new_g_opt,
+            d_params=new_d_params, d_opt=new_d_opt,
+            d_stats=new_stats, g_ema=new_g_ema)
+        metrics = {
+            "d_loss": jnp.mean(d_losses),
+            "g_loss": jnp.mean(g_losses),
+            "d_real": jnp.mean(d_reals),
+            "d_fake": jnp.mean(d_fakes),
+            **{k: jnp.mean(v) for k, v in g_auxes.items()},
+        }
+        return new_state, metrics
+
     def step(state: GANTrainState, batch: Batch, key):
         del key  # reserved for latent-noise generators
         mask = batch.mask
@@ -105,34 +233,7 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
 
         # ---------------- G step (vs the updated D) -----------------------
         def g_loss_fn(g_params):
-            gen = g_forward(g_params, batch)
-            comp = composite(gen.fine, batch.image, mask)
-            logits, _ = d_forward(new_d_params, new_stats, comp, mask,
-                                  update_stats=False)
-            adv = adversarial.g_loss(logits, adv_kind)
-
-            rec = l1_loss(gen.fine, batch.image, mask,
-                          hole_weight=cfg.loss.l1_hole_weight,
-                          valid_weight=cfg.loss.l1_valid_weight,
-                          discount_gamma=cfg.loss.spatial_discount)
-            if gen.coarse is not None:
-                rec = rec + l1_loss(gen.coarse, batch.image, mask,
-                                    hole_weight=cfg.loss.l1_hole_weight,
-                                    valid_weight=cfg.loss.l1_valid_weight,
-                                    discount_gamma=cfg.loss.spatial_discount)
-
-            perc = style = jnp.asarray(0.0, jnp.float32)
-            if use_vgg:
-                perc, style = perceptual_and_style_loss(
-                    vgg_apply, vgg_params, comp, batch.image)
-
-            total = (cfg.loss.gan_weight * adv
-                     + cfg.loss.l1_weight * rec
-                     + cfg.loss.perceptual_weight * perc
-                     + cfg.loss.style_weight * style)
-            aux = {"g_adv": adv, "g_l1": rec, "g_perceptual": perc,
-                   "g_style": style}
-            return total, aux
+            return g_loss_terms(g_params, batch, new_d_params, new_stats)
 
         with jax.named_scope("g_step"):
             (g_loss_val, g_aux), g_grads = (
@@ -164,4 +265,5 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    fn = accum_step if accum > 1 else step
+    return jax.jit(fn, donate_argnums=donate_argnums)

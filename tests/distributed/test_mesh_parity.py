@@ -109,3 +109,21 @@ def test_tensor_parallel_channel_sharding_parity(tiny_config, eight_devices):
     for a, b in zip(jax.tree.leaves(s1.g_params),
                     jax.tree.leaves(s42.g_params)):
         np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_grad_accum_sharded_matches_full_batch(tiny_config, eight_devices):
+    """grad_accum under SPMD: the (accum, batch/accum) reshape keeps the
+    micro-batch dim sharded over the data axis and still reproduces the
+    full-batch step."""
+    cfg = apply_overrides(tiny_config, ["data.batch_size=16"])
+    cfg_acc = apply_overrides(cfg, ["train.grad_accum=2"])
+    mesh8 = build_mesh(MeshConfig(data=8, model=1), devices=eight_devices)
+
+    s_full, m_full = _run_steps(cfg, mesh8, n=2)
+    s_acc, m_acc = _run_steps(cfg_acc, mesh8, n=2)
+
+    np.testing.assert_allclose(m_full["g_loss"], m_acc["g_loss"], rtol=2e-4)
+    np.testing.assert_allclose(m_full["d_loss"], m_acc["d_loss"], rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(s_full.g_params),
+                    jax.tree.leaves(s_acc.g_params)):
+        np.testing.assert_allclose(a, b, atol=2e-4)

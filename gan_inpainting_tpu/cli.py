@@ -61,6 +61,15 @@ def main(argv=None) -> int:
     p_exp.add_argument("--raw", action="store_true",
                        help="export raw params even when EMA is tracked")
 
+    p_msk = sub.add_parser(
+        "mask", help="write random mask PNGs (the config's mask.* family) "
+        "for use with infer --mask")
+    _add_common(p_msk)
+    p_msk.add_argument("--output", required=True,
+                       help="output PNG; with --n > 1, a directory")
+    p_msk.add_argument("--n", type=int, default=1)
+    p_msk.add_argument("--seed", type=int, default=0)
+
     p_srv = sub.add_parser(
         "serve", help="batched HTTP inpainting service (infer/service.py)")
     _add_common(p_srv)
@@ -169,6 +178,30 @@ def main(argv=None) -> int:
         out = inpainter(image, mask.astype(np.float32))
         Image.fromarray(out).save(args.output)
         print(f"wrote {args.output}")
+        return 0
+
+    if args.cmd == "mask":
+        import pathlib
+
+        import jax
+        import numpy as np
+        from PIL import Image
+
+        from gan_inpainting_tpu.data.masks import random_mask_batch
+
+        size = cfg.data.image_size
+        masks = random_mask_batch(jax.random.key(args.seed), args.n,
+                                  size, size, cfg.mask)
+        masks = (np.asarray(masks)[..., 0] > 0.5).astype(np.uint8) * 255
+        out = pathlib.Path(args.output)
+        if args.n == 1:
+            Image.fromarray(masks[0]).save(out)
+            print(f"wrote {out}")
+        else:
+            out.mkdir(parents=True, exist_ok=True)
+            for i in range(args.n):
+                Image.fromarray(masks[i]).save(out / f"mask_{i:04d}.png")
+            print(f"wrote {args.n} masks to {out}")
         return 0
 
     if args.cmd == "export":

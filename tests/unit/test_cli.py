@@ -22,3 +22,25 @@ def test_unknown_config_rejected():
 def test_bad_override_raises():
     with pytest.raises(KeyError):
         main(["train", "--config", "celeba128_center", "data.nope=1"])
+
+
+def test_mask_subcommand(tmp_path):
+    from gan_inpainting_tpu.cli import main
+
+    import numpy as np
+    from PIL import Image
+
+    out = tmp_path / "m.png"
+    rc = main(["mask", "--config", "celeba128_center",
+               "--output", str(out), "data.image_size=64"])
+    assert rc == 0
+    m = np.asarray(Image.open(out))
+    assert m.shape == (64, 64) and set(np.unique(m)) <= {0, 255}
+    assert (m == 255).any() and (m == 0).any()
+
+    outdir = tmp_path / "masks"
+    rc = main(["mask", "--config", "celebahq256_freeform", "--n", "3",
+               "--seed", "7", "--output", str(outdir),
+               "data.image_size=64"])
+    assert rc == 0
+    assert len(list(outdir.glob("mask_*.png"))) == 3

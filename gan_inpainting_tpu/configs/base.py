@@ -153,6 +153,9 @@ class TrainConfig:
     d_lr: float = 4e-4            # TTUR-style by default
     beta1: float = 0.5
     beta2: float = 0.9
+    # clip gradients to this global L2 norm before Adam (0 = off). Applied
+    # to G and D alike; a stability guard for adversarial spikes.
+    grad_clip: float = 0.0
     seed: int = 0
     # learning-rate schedule, applied to BOTH optimizers (each scaled from
     # its own base g_lr/d_lr): constant | cosine | linear. The default

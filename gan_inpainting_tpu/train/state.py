@@ -119,8 +119,14 @@ def make_lr_schedule(cfg: Config, base_lr: float):
 
 def make_optimizers(cfg: Config):
     def adam(base_lr):
-        return optax.adam(make_lr_schedule(cfg, base_lr),
-                          b1=cfg.train.beta1, b2=cfg.train.beta2)
+        tx = optax.adam(make_lr_schedule(cfg, base_lr),
+                        b1=cfg.train.beta1, b2=cfg.train.beta2)
+        if cfg.train.grad_clip > 0:
+            # prepended only when on, so the default optimizer state tree
+            # (and old checkpoints) stay unchanged
+            tx = optax.chain(
+                optax.clip_by_global_norm(cfg.train.grad_clip), tx)
+        return tx
 
     return adam(cfg.train.g_lr), adam(cfg.train.d_lr)
 

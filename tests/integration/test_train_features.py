@@ -229,3 +229,38 @@ def test_train_loop_warm_starts_and_resume_wins(tiny_config, tmp_path):
         dst_cfg, train=dataclasses.replace(dst_cfg.train, steps=2))
     state2, _ = train(dst_cfg2, verbose=False)
     assert int(state2.step) == 2
+
+
+# ---------------------------------------------------------------------------
+# Gradient clipping
+# ---------------------------------------------------------------------------
+
+
+def test_grad_clip_bounds_update_norm(tiny_config):
+    """With an absurdly small clip norm, the Adam input is the clipped
+    gradient; the step still trains and params move less than unclipped."""
+    cfg = apply_overrides(tiny_config, ["train.grad_clip=1e-4"])
+    base = tiny_config
+    # same init key -> identical params; only the optimizer state differs
+    state = create_state(cfg, jax.random.key(0))
+    state_free = create_state(base, jax.random.key(0))
+    batch = _make_batch(base)
+
+    s_clip, m_clip = make_train_step(cfg, donate=False)(
+        state, batch, jax.random.key(2))
+    s_free, m_free = make_train_step(base, donate=False)(
+        state_free, batch, jax.random.key(2))
+
+    assert all(bool(jnp.isfinite(v)) for v in m_clip.values())
+    # D's loss is computed pre-update: identical across the two variants
+    # (G's is not — it faces the differently-updated D)
+    np.testing.assert_allclose(float(m_clip["d_loss"]),
+                               float(m_free["d_loss"]), rtol=1e-6)
+
+    def delta(a, b):
+        return sum(float(jnp.sum((x - y) ** 2)) for x, y in zip(
+            jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    moved_clip = delta(s_clip.g_params, state.g_params)
+    moved_free = delta(s_free.g_params, state.g_params)
+    assert 0 < moved_clip < moved_free

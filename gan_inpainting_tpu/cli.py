@@ -34,6 +34,8 @@ def main(argv=None) -> int:
     _add_common(p_eval)
     p_eval.add_argument("--best", action="store_true",
                         help="evaluate the best-PSNR retention checkpoint")
+    p_eval.add_argument("--weights", default=None,
+                        help="evaluate an exported .npz artifact instead")
 
     p_inf = sub.add_parser(
         "infer", help="inpaint one image file, or a directory of "
@@ -146,7 +148,11 @@ def main(argv=None) -> int:
         from gan_inpainting_tpu.infer.inpaint import Inpainter
         from gan_inpainting_tpu.train.evaluate import evaluate
 
-        inp = Inpainter.from_checkpoint(cfg, best=args.best)
+        if args.weights:
+            inp = Inpainter.from_npz(args.weights, overrides=args.overrides)
+            cfg = inp.cfg
+        else:
+            inp = Inpainter.from_checkpoint(cfg, best=args.best)
         print(json.dumps(evaluate(cfg, inp.g_params)))
         return 0
 

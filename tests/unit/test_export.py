@@ -114,3 +114,19 @@ def test_load_generator_rejects_foreign_npz(tmp_path):
     np.savez(path, a=np.zeros(3))
     with pytest.raises(ValueError, match="export"):
         load_generator(str(path))
+
+
+def test_eval_weights_cli(tiny_config, tmp_path):
+    from gan_inpainting_tpu.cli import main
+    from gan_inpainting_tpu.train.loop import train
+
+    cfg = apply_overrides(tiny_config, [
+        f"train.workdir={tmp_path / 'run'}", "train.steps=2",
+        "train.checkpoint_every=2", "train.mesh.data=1"])
+    train(cfg, verbose=False)
+    path = tmp_path / "g.npz"
+    export_from_checkpoint(cfg, str(path))
+    rc = main(["eval", "--weights", str(path),
+               "data.eval_batch_size=2", "data.num_eval_batches=1",
+               "train.mesh.data=1"])
+    assert rc == 0

@@ -47,10 +47,16 @@ def warm_start(state: GANTrainState, cfg: Config) -> GANTrainState:
     EMA layout — only the grafted subtrees must match, and a mismatch there
     (different architecture) fails loudly.
     """
+    import pathlib
+
     from gan_inpainting_tpu.io.checkpoint import CheckpointManager
 
     subdir = ("checkpoints_best" if cfg.train.init_from_best
               else "checkpoints")
+    if not (pathlib.Path(cfg.train.init_from) / subdir).is_dir():
+        raise FileNotFoundError(
+            f"train.init_from={cfg.train.init_from!r}: no {subdir}/ there "
+            f"(expected another run's workdir)")
     src = CheckpointManager(cfg.train.init_from, subdir=subdir)
     raw = src.restore_raw()
 

@@ -264,3 +264,12 @@ def test_grad_clip_bounds_update_norm(tiny_config):
     moved_clip = delta(s_clip.g_params, state.g_params)
     moved_free = delta(s_free.g_params, state.g_params)
     assert 0 < moved_clip < moved_free
+
+
+def test_warm_start_missing_source_raises(tiny_config, tmp_path):
+    dst_cfg = apply_overrides(tiny_config, [
+        f"train.init_from={tmp_path / 'nowhere'}"])
+    fresh = create_state(dst_cfg, jax.random.key(7))
+    with pytest.raises(FileNotFoundError, match="init_from"):
+        warm_start(fresh, dst_cfg)
+    assert not (tmp_path / "nowhere").exists()  # no dir-droppings

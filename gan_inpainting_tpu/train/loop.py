@@ -136,6 +136,12 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
                     print(f"[train] eval@{next_step}: {ev}")
                 if track_best and ev.get("psnr", float("-inf")) > best_psnr:
                     best_psnr = ev["psnr"]
+                    # never two async saves in flight across the two
+                    # managers: orbax's async finalizer syncs processes on
+                    # a globally-named barrier (ThreadSaveMultiHostValue-
+                    # Holder), so concurrent saves from different managers
+                    # deadlock a >1-process cluster
+                    ckpt.wait()
                     best_ckpt.save(next_step, state, cfg)
                     if is_main:
                         import json as _json
@@ -149,6 +155,8 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
                     _dump_samples(cfg, state, writer, next_step, streams)
 
             if next_step % cfg.train.checkpoint_every == 0 or next_step == cfg.train.steps:
+                if best_ckpt is not None:
+                    best_ckpt.wait()  # same single-save-in-flight rule
                 ckpt.save(next_step, state, cfg)
 
     ckpt.wait()

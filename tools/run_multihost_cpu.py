@@ -220,8 +220,13 @@ def main() -> int:
         text = "\n".join(o[-4000:] for o in outs)
         print(text)
         lowered = text.lower()
-        if ("collectives" in lowered or "gloo" in lowered
-                or "distributed" in lowered and "unimplemented" in lowered):
+        # unsupported-box detection must not swallow real failures: a
+        # "[Gloo] Rank N is connected" line proves collectives DO work
+        # here, so only classify as unsupported when gloo never connected
+        # and the error talks about collectives being unimplemented
+        gloo_connected = "is connected to" in lowered
+        if not gloo_connected and ("unimplemented" in lowered
+                                   or "collectives" in lowered):
             print("UNSUPPORTED: multi-process CPU collectives unavailable")
             return 3
         print(f"worker failure rcs={rcs}")

@@ -201,7 +201,12 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class EvalConfig:
+    # "psnr"/"ssim" are per-image (metrics/image.py); "swd" opts into the
+    # multi-scale sliced Wasserstein distance (metrics/swd.py), a
+    # distribution-level GAN quality metric computed over the first
+    # swd_max_images eval images (single-process eval only)
     metrics: tuple[str, ...] = ("psnr", "ssim")
+    swd_max_images: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,10 +26,21 @@ _METRIC_FNS = {"psnr": psnr, "ssim": ssim}
 def make_eval_step(cfg: Config):
     generator = build_generator(cfg.model)
     names = tuple(cfg.eval.metrics)
-    unknown = [n for n in names if n not in _METRIC_FNS]
+    unknown = [n for n in names if n not in _METRIC_FNS and n != "swd"]
     if unknown:
         raise ValueError(f"unknown eval metrics {unknown}; "
-                         f"have {sorted(_METRIC_FNS)}")
+                         f"have {sorted(_METRIC_FNS) + ['swd']}")
+    scalar_names = tuple(n for n in names if n in _METRIC_FNS)
+    # SWD is a distribution metric over the whole eval set: the step
+    # additionally returns the composited images (f16 — descriptor
+    # extraction normalizes anyway) so evaluate() can pool them. On a
+    # multi-host mesh the composite is not host-addressable; skip there.
+    want_swd = "swd" in names
+    if want_swd and jax.process_count() > 1:
+        import warnings
+
+        warnings.warn("eval.metrics 'swd' is single-process only; skipping")
+        want_swd = False
 
     @jax.jit
     def eval_step(g_params, batch: Batch):
@@ -38,7 +49,11 @@ def make_eval_step(cfg: Config):
         comp = comp.astype(jnp.float32)
         # reduce to replicated scalars INSIDE the jit: on a multi-host mesh
         # the per-image vector is not host-addressable, a replicated sum is
-        return {n: jnp.sum(_METRIC_FNS[n](comp, batch.image)) for n in names}
+        res = {n: jnp.sum(_METRIC_FNS[n](comp, batch.image))
+               for n in scalar_names}
+        if want_swd:
+            res["_composite"] = comp.astype(jnp.float16)
+        return res
 
     return eval_step
 
@@ -67,6 +82,9 @@ def evaluate(cfg: Config, g_params, seed: int = 0,
     key = jax.random.key(seed + 777)
     sums: dict[str, float] = {}
     count = 0
+    swd_cap = cfg.eval.swd_max_images
+    reals: list[np.ndarray] = []
+    comps: list[np.ndarray] = []
     for i in range(cfg.data.num_eval_batches):
         images = next(it)
         mask_key = jax.random.fold_in(key, i)
@@ -77,6 +95,21 @@ def evaluate(cfg: Config, g_params, seed: int = 0,
             batch = shard_host_batch(mesh, jax.device_get(batch))
         per_batch = eval_step(g_params, batch)
         for name, value in per_batch.items():
+            if name == "_composite":
+                if sum(a.shape[0] for a in comps) < swd_cap:
+                    comps.append(np.asarray(value))
+                    reals.append(np.asarray(batch.image, np.float16))
+                continue
             sums[name] = sums.get(name, 0.0) + float(value)
         count += cfg.data.eval_batch_size
-    return {name: total / count for name, total in sums.items()}
+    out = {name: total / count for name, total in sums.items()}
+    if comps:
+        from gan_inpainting_tpu.metrics.swd import swd
+
+        real = np.concatenate(reals)[:swd_cap]
+        fake = np.concatenate(comps)[:swd_cap]
+        res = swd(jnp.asarray(real, jnp.float32),
+                  jnp.asarray(fake, jnp.float32),
+                  jax.random.key(seed + 1234))
+        out.update({k: float(v) for k, v in res.items()})
+    return out

@@ -55,13 +55,22 @@ def main(argv=None) -> int:
                        "(its embedded config wins; overrides still apply)")
 
     p_exp = sub.add_parser(
-        "export", help="write the generator to a portable .npz artifact")
+        "export", help="write the generator to a portable .npz artifact, "
+        "or (--aot) an AOT-compiled serving artifact directory")
     _add_common(p_exp)
-    p_exp.add_argument("--output", required=True, help="output .npz path")
+    p_exp.add_argument("--output", required=True,
+                       help="output .npz path (or directory with --aot)")
     p_exp.add_argument("--best", action="store_true",
                        help="export the best-PSNR retention checkpoint")
     p_exp.add_argument("--raw", action="store_true",
                        help="export raw params even when EMA is tracked")
+    p_exp.add_argument("--aot", action="store_true",
+                       help="AOT artifact: serialized jax.export programs "
+                       "per serve bucket + params (io/aot.py)")
+    p_exp.add_argument("--aot-buckets", default=None,
+                       help="comma-separated BxS bucket list, e.g. "
+                       "1x256,8x256 (default: infer.batch_buckets at the "
+                       "config's image size)")
 
     p_msk = sub.add_parser(
         "mask", help="write random mask PNGs (the config's mask.* family) "
@@ -79,6 +88,15 @@ def main(argv=None) -> int:
     p_srv.add_argument("--port", type=int, default=8763)
     p_srv.add_argument("--max-wait-ms", type=float, default=5.0,
                        help="micro-batcher straggler window")
+    p_srv.add_argument("--best", action="store_true",
+                       help="serve the best-PSNR retention checkpoint")
+    p_srv.add_argument("--weights", default=None,
+                       help="serve an exported .npz artifact instead of a "
+                       "checkpoint (its embedded config wins; overrides "
+                       "still apply)")
+    p_srv.add_argument("--aot", default=None, metavar="DIR",
+                       help="serve an AOT artifact directory (export --aot):"
+                       " pre-compiled programs, no model code or tracing")
 
     p_bench = sub.add_parser("bench", help="throughput benchmarks")
     _add_common(p_bench)
@@ -180,7 +198,9 @@ def main(argv=None) -> int:
             return 0
 
         image = np.asarray(Image.open(args.image).convert("RGB"))
-        mask = (np.asarray(Image.open(args.mask).convert("L")) > 0)
+        # >127: same threshold as the directory and HTTP paths, so an
+        # anti-aliased grayscale mask yields one hole everywhere
+        mask = (np.asarray(Image.open(args.mask).convert("L")) > 127)
         out = inpainter(image, mask.astype(np.float32))
         Image.fromarray(out).save(args.output)
         print(f"wrote {args.output}")
@@ -211,6 +231,21 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "export":
+        if args.aot:
+            from gan_inpainting_tpu.infer.inpaint import Inpainter
+            from gan_inpainting_tpu.io.aot import export_serving
+
+            inp = Inpainter.from_checkpoint(cfg, use_ema=not args.raw,
+                                            best=args.best)
+            buckets = None
+            if args.aot_buckets:
+                buckets = [tuple(int(v) for v in spec.split("x"))
+                           for spec in args.aot_buckets.split(",")]
+            manifest = export_serving(inp.cfg, inp.g_params, args.output,
+                                      buckets=buckets)
+            print(f"wrote AOT artifact ({len(manifest['buckets'])} buckets, "
+                  f"platform {manifest['platform']}) to {args.output}")
+            return 0
         from gan_inpainting_tpu.io.export import export_from_checkpoint
 
         export_from_checkpoint(cfg, args.output, use_ema=not args.raw,
@@ -219,9 +254,19 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "serve":
+        from gan_inpainting_tpu.infer.inpaint import Inpainter
         from gan_inpainting_tpu.infer.service import serve
 
-        serve(cfg, host=args.host, port=args.port,
+        if args.aot:
+            from gan_inpainting_tpu.io.aot import AotInpainter
+
+            inpainter = AotInpainter(args.aot)
+        elif args.weights:
+            inpainter = Inpainter.from_npz(args.weights,
+                                           overrides=args.overrides)
+        else:
+            inpainter = Inpainter.from_checkpoint(cfg, best=args.best)
+        serve(inpainter, host=args.host, port=args.port,
               max_wait_ms=args.max_wait_ms)
         return 0
 

@@ -36,6 +36,29 @@ def _bucket(value: int, buckets) -> int:
                      f"configure a larger bucket in InferConfig")
 
 
+def make_forward_fn(cfg: Config):
+    """The pure serve forward: ``(g_params, images_u8, masks) → uint8``.
+
+    normalize → generator → composite on the raw uint8 input (known pixels
+    bit-exact) → denormalize. Shared by the live :class:`Inpainter` (which
+    wraps it in a mesh-sharded jit) and the AOT exporter (io/aot.py, plain
+    jit serialized via jax.export).
+    """
+    gen = build_generator(cfg.model)
+
+    def fwd(g_params, images_u8, masks):
+        image = normalize(images_u8)
+        masked = image * (1.0 - masks)
+        out = gen.apply({"params": g_params}, masked, masks)
+        fine = out.fine.astype(jnp.float32)
+        out_u8 = denormalize(fine)
+        # composite on raw uint8: known pixels bit-exact
+        keep = masks <= 0.0
+        return jnp.where(keep, images_u8, out_u8)
+
+    return fwd
+
+
 class Inpainter:
     """Loads a generator and serves inpaint requests.
 
@@ -45,7 +68,6 @@ class Inpainter:
 
     def __init__(self, cfg: Config, g_params, mesh=None):
         self.cfg = cfg
-        self.generator = build_generator(cfg.model)
         self.mesh = mesh if mesh is not None else build_mesh(cfg.train.mesh)
         self.g_params = jax.device_put(g_params, replicated(self.mesh))
         self._forward = functools.lru_cache(maxsize=None)(
@@ -60,17 +82,16 @@ class Inpainter:
         the Karras-practice weights eval also uses; falls back to the raw
         params otherwise. ``best``: load the best-eval-PSNR retention slot
         (workdir/checkpoints_best, written when train.keep_best) instead of
-        the latest checkpoint."""
-        from gan_inpainting_tpu.io.checkpoint import CheckpointManager
+        the latest checkpoint. The restore template comes from the
+        checkpoint's own saved config (train.state.restore_state), so
+        train-time overrides of state-layout knobs (EMA, grad_clip, LR
+        schedule) need not be repeated here."""
         from gan_inpainting_tpu.train.state import (
-            create_state,
             ema_generator_params,
+            restore_state,
         )
 
-        template = create_state(cfg, jax.random.key(0))
-        subdir = "checkpoints_best" if best else "checkpoints"
-        ckpt = CheckpointManager(workdir or cfg.train.workdir, subdir=subdir)
-        state = ckpt.restore(template)
+        state = restore_state(cfg, workdir, best=best)
         params = ema_generator_params(state) if use_ema else state.g_params
         return cls(cfg, params, mesh=mesh)
 
@@ -92,18 +113,7 @@ class Inpainter:
     # ------------------------------------------------------------------
     def _build_forward(self, batch: int, size: int):
         """One compiled program per (batch, size) bucket."""
-        gen = self.generator
-
-        def fwd(g_params, images_u8, masks):
-            image = normalize(images_u8)
-            masked = image * (1.0 - masks)
-            out = gen.apply({"params": g_params}, masked, masks)
-            fine = out.fine.astype(jnp.float32)
-            out_u8 = denormalize(fine)
-            # composite on raw uint8: known pixels bit-exact
-            keep = masks <= 0.0
-            return jnp.where(keep, images_u8, out_u8)
-
+        fwd = make_forward_fn(self.cfg)
         sharding = batch_sharding(self.mesh)
         # donating the input image buffer lets XLA reuse it for the
         # (same-shape, same-dtype) uint8 output — one less HBM allocation

@@ -72,6 +72,8 @@ class CheckpointManager:
 
     def restore_config(self, step: int | None = None) -> dict:
         step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.path}")
         restored = self._mgr.restore(
             step, args=ocp.args.Composite(config=ocp.args.JsonRestore()))
         return restored["config"]

@@ -38,6 +38,35 @@ def ema_generator_params(state: GANTrainState):
     return ema
 
 
+def restore_state(cfg: Config, workdir: str | None = None, *,
+                  best: bool = False, step: int | None = None,
+                  ) -> GANTrainState:
+    """Restore a full train state for eval/infer/tools.
+
+    The restore template is built from the checkpoint's OWN saved config,
+    not ``cfg`` — train-time CLI overrides of state-layout knobs
+    (``train.g_ema_decay`` adds the EMA subtree, ``train.grad_clip`` /
+    the LR-schedule knobs change the optimizer state tree) therefore do
+    not have to be repeated on the eval/infer command line, where they
+    would otherwise fail as an opaque orbax tree mismatch. ``cfg`` only
+    locates the checkpoint (and is the config serving should keep using).
+    """
+    import jax.random
+
+    from gan_inpainting_tpu.configs.base import config_from_dict
+    from gan_inpainting_tpu.io.checkpoint import CheckpointManager
+
+    subdir = "checkpoints_best" if best else "checkpoints"
+    ckpt = CheckpointManager(workdir or cfg.train.workdir, subdir=subdir)
+    if step is None:
+        step = ckpt.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt.path}")
+    saved_cfg = config_from_dict(ckpt.restore_config(step))
+    template = create_state(saved_cfg, jax.random.key(0))
+    return ckpt.restore(template, step)
+
+
 def warm_start(state: GANTrainState, cfg: Config) -> GANTrainState:
     """Graft parameters from ``cfg.train.init_from`` into a fresh state.
 

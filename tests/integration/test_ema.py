@@ -58,6 +58,40 @@ def test_ema_tracks_recurrence(tiny_config):
     assert diff > 0
 
 
+def test_restore_state_adopts_saved_layout(tiny_config, tmp_path):
+    """Eval/infer restore must not require repeating train-time overrides
+    of state-layout knobs (EMA / grad_clip / LR schedule): restore_state
+    builds its template from the checkpoint's own saved config."""
+    import pytest
+
+    from gan_inpainting_tpu.io.checkpoint import CheckpointManager
+    from gan_inpainting_tpu.train.state import restore_state
+
+    train_cfg = apply_overrides(tiny_config, [
+        f"train.workdir={tmp_path}", "train.g_ema_decay=0.9",
+        "train.grad_clip=1.0", "train.lr_schedule=cosine",
+        "train.warmup_steps=2"])
+    state = create_state(train_cfg, jax.random.key(0))
+    step = make_train_step(train_cfg, donate=False)
+    state, _ = step(state, _make_batch(train_cfg), jax.random.key(1))
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(1, state, train_cfg)
+    ckpt.wait()
+    ckpt.close()
+
+    # plain config (none of the overrides) locates and restores it anyway
+    plain_cfg = apply_overrides(tiny_config, [f"train.workdir={tmp_path}"])
+    restored = restore_state(plain_cfg)
+    for a, b in zip(jax.tree.leaves(state.g_ema),
+                    jax.tree.leaves(restored.g_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ema_generator_params(restored) is restored.g_ema
+
+    with pytest.raises(FileNotFoundError):
+        restore_state(apply_overrides(
+            tiny_config, [f"train.workdir={tmp_path}/nowhere"]))
+
+
 def test_ema_checkpoint_roundtrip(tiny_config, tmp_path):
     from gan_inpainting_tpu.io.checkpoint import CheckpointManager
 

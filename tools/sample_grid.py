@@ -34,23 +34,19 @@ def main(argv=None) -> int:
         denormalize,
         make_train_batch,
     )
-    from gan_inpainting_tpu.io.checkpoint import CheckpointManager
     from gan_inpainting_tpu.models.generator import build_generator
     from gan_inpainting_tpu.train.state import (
-        create_state,
         ema_generator_params,
+        restore_state,
     )
     from gan_inpainting_tpu.train.step import composite
 
     cfg = apply_overrides(get_config(args.config), args.overrides)
     import jax
 
-    template = create_state(cfg, jax.random.key(0))
-    subdir = "checkpoints_best" if args.best else "checkpoints"
-    ckpt = CheckpointManager(cfg.train.workdir, subdir=subdir)
-    state = ckpt.restore(template)
+    state = restore_state(cfg, best=args.best)
     print(f"[grid] checkpoint step {int(state.step)} from "
-          f"{cfg.train.workdir}/{subdir}", file=sys.stderr)
+          f"{cfg.train.workdir}", file=sys.stderr)
     params = ema_generator_params(state)
 
     it = make_dataset(cfg.data, seed=args.seed, split="eval",

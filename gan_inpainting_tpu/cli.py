@@ -53,6 +53,9 @@ def main(argv=None) -> int:
     p_inf.add_argument("--weights", default=None,
                        help="exported .npz artifact instead of a checkpoint "
                        "(its embedded config wins; overrides still apply)")
+    p_inf.add_argument("--aot", default=None, metavar="DIR",
+                       help="AOT artifact directory (export --aot): "
+                       "pre-compiled programs, no model code or tracing")
 
     p_exp = sub.add_parser(
         "export", help="write the generator to a portable .npz artifact, "
@@ -183,7 +186,11 @@ def main(argv=None) -> int:
         from gan_inpainting_tpu.infer.inpaint import Inpainter
 
         image_path = pathlib.Path(args.image)
-        if args.weights:
+        if args.aot:
+            from gan_inpainting_tpu.io.aot import AotInpainter
+
+            inpainter = AotInpainter(args.aot)
+        elif args.weights:
             inpainter = Inpainter.from_npz(args.weights,
                                            overrides=args.overrides)
         else:

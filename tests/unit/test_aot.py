@@ -122,3 +122,16 @@ def test_aot_cli_and_service(tiny_config, tmp_path):
     keep = mask == 0
     np.testing.assert_array_equal(out[keep], img[keep])
     service.close()
+
+    # infer --aot: single-file CLI path over the same artifact
+    from PIL import Image
+
+    Image.fromarray(img).save(tmp_path / "in.png")
+    Image.fromarray((mask * 255).astype(np.uint8)).save(tmp_path / "m.png")
+    rc = main(["infer", "--aot", str(outdir),
+               "--image", str(tmp_path / "in.png"),
+               "--mask", str(tmp_path / "m.png"),
+               "--output", str(tmp_path / "out.png")])
+    assert rc == 0
+    cli_out = np.asarray(Image.open(tmp_path / "out.png"))
+    np.testing.assert_array_equal(cli_out[keep], img[keep])

@@ -79,6 +79,14 @@ class DataConfig:
     # per-sample random horizontal flip at train time, fused into the
     # on-device preprocess jit (zero host cost). Eval never flips.
     random_flip: bool = True
+    # per-sample random crop at train time (the genre's standard Places2
+    # treatment: crop a window instead of squashing the whole frame).
+    # The loader decodes/resizes to 9/8×image_size (128→144, 256→288,
+    # 512→576) and the preprocess jit slices a random image_size² window
+    # per sample on device — static shapes, zero extra host work beyond
+    # the slightly larger decode. Eval never crops (center composition,
+    # deterministic metrics).
+    random_crop: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,6 +152,17 @@ class LossConfig:
     style_weight: float = 0.0
     vgg_weights_path: str = ""    # converted VGG16 weights (optional; see losses/vgg.py)
     gan_weight: float = 1.0
+    # total-variation smoothness over the 1-px-dilated hole of the
+    # composite (Liu et al. ECCV'18 L_tv; paper weight 0.1). 0 = off.
+    tv_weight: float = 0.0
+    # R1 gradient penalty on the discriminator's REAL pass, weight γ in
+    # γ/2·E[‖∇_x D(x)‖²] (Mescheder et al. 2018). Adds one extra D
+    # forward+backward per step when enabled. 0 = off.
+    r1_gamma: float = 0.0
+    # feature matching (pix2pixHD): mean L1 between D's per-layer
+    # activations on the composite vs the real image, averaged over
+    # layers. One extra D forward per G step when enabled. 0 = off.
+    feature_match_weight: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -317,7 +336,8 @@ def _partialconv256() -> Config:
                           base_features=48),
         loss=LossConfig(adversarial="hinge", gan_weight=0.0,
                         l1_weight=1.0, l1_hole_weight=6.0,
-                        perceptual_weight=0.05, style_weight=120.0),
+                        perceptual_weight=0.05, style_weight=120.0,
+                        tv_weight=0.1),
     )
 
 

@@ -36,8 +36,20 @@ from gan_inpainting_tpu.data.synthetic import synthetic_batch_u8
 _IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
 
 
-def _synthetic_iter(cfg: DataConfig, seed: int, batch_size: int
-                    ) -> Iterator[np.ndarray]:
+def source_size(cfg: DataConfig, split: str = "train") -> int:
+    """Loader decode/resize target for a split.
+
+    With ``random_crop`` on, train images are supplied at 9/8× the train
+    size (128→144, 256→288, 512→576) and the preprocess jit slices the
+    random window (data/pipeline.py). Eval always gets image_size.
+    """
+    if split == "train" and cfg.random_crop:
+        return cfg.image_size * 9 // 8
+    return cfg.image_size
+
+
+def _synthetic_iter(cfg: DataConfig, seed: int, batch_size: int,
+                    size: int) -> Iterator[np.ndarray]:
     key = jax.random.key(seed)
     # synthetic_size is the virtual dataset length: after that many distinct
     # images the key stream wraps, so training sees repeated "epochs" exactly
@@ -46,7 +58,7 @@ def _synthetic_iter(cfg: DataConfig, seed: int, batch_size: int
     step = 0
     while True:
         k = jax.random.fold_in(key, step % batches_per_epoch)
-        yield synthetic_batch_u8(k, batch_size, cfg.image_size)
+        yield synthetic_batch_u8(k, batch_size, size)
         step += 1
 
 
@@ -122,7 +134,7 @@ def _cache_array(files: list[pathlib.Path], size: int,
 
 
 def _folder_iter(cfg: DataConfig, seed: int, batch_size: int,
-                 split: str) -> Iterator[np.ndarray]:
+                 split: str, size: int) -> Iterator[np.ndarray]:
     root = pathlib.Path(cfg.root)
     files = sorted(p for p in root.rglob("*")
                    if p.suffix.lower() in _IMG_EXTS)
@@ -137,7 +149,7 @@ def _folder_iter(cfg: DataConfig, seed: int, batch_size: int,
     if _cache_wanted(cfg):
         # NOTE _folder_iter is a generator function — `yield from`, not
         # `return` (a bare return here would just end the generator)
-        cache = _cache_array(files, cfg.image_size, cfg.loader_cache_dir)
+        cache = _cache_array(files, size, cfg.loader_cache_dir)
         while True:
             idx = rng.permutation(len(files))
             for start in range(0, len(idx) - batch_size + 1, batch_size):
@@ -161,7 +173,7 @@ def _folder_iter(cfg: DataConfig, seed: int, batch_size: int,
     def decoder():
         while True:
             ids = idx_q.get()
-            out_q.put(_load_batch([files[i] for i in ids], cfg.image_size))
+            out_q.put(_load_batch([files[i] for i in ids], size))
 
     threading.Thread(target=index_producer, daemon=True).start()
     for _ in range(n_threads):
@@ -175,10 +187,11 @@ def make_dataset(cfg: DataConfig, seed: int = 0, split: str = "train",
     """Infinite iterator of uint8 (B, H, W, 3) batches."""
     if batch_size is None:
         batch_size = cfg.batch_size if split == "train" else cfg.eval_batch_size
+    size = source_size(cfg, split)
     if cfg.dataset == "synthetic":
         # eval uses a disjoint seed stream so train never sees eval images
         eval_offset = 0 if split == "train" else 10_000_019
-        return _synthetic_iter(cfg, seed + eval_offset, batch_size)
+        return _synthetic_iter(cfg, seed + eval_offset, batch_size, size)
     if cfg.dataset == "folder":
-        return _folder_iter(cfg, seed, batch_size, split)
+        return _folder_iter(cfg, seed, batch_size, split, size)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")

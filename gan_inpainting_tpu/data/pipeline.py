@@ -43,10 +43,28 @@ def denormalize(images):
     return jnp.round(x).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 4), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(2, 4, 5), donate_argnums=(0,))
 def _make_batch_impl(images_u8, key, mask_cfg: MaskConfig,
-                     progress, flip: bool) -> Batch:
+                     progress, flip: bool, crop: int) -> Batch:
     b, h, w = images_u8.shape[:3]
+    if crop and (h, w) != (crop, crop):
+        if h < crop or w < crop:
+            raise ValueError(
+                f"random_crop target {crop} exceeds source {(h, w)}")
+        # per-sample random window, sliced on the uint8 batch before
+        # normalization (static output shape; crop=0 keeps the pre-crop
+        # key derivation bit-exact — pins/resume unaffected)
+        key, crop_key = jax.random.split(key)
+        offs = jax.random.randint(
+            crop_key, (b, 2), minval=0,
+            maxval=jnp.array([h - crop + 1, w - crop + 1]))
+
+        def crop_one(img, off):
+            return jax.lax.dynamic_slice(
+                img, (off[0], off[1], 0), (crop, crop, img.shape[-1]))
+
+        images_u8 = jax.vmap(crop_one)(images_u8, offs)
+        h = w = crop
     image = normalize(images_u8)
     if flip:
         # per-sample horizontal flip, fused into the same device program
@@ -65,13 +83,15 @@ def _make_batch_impl(images_u8, key, mask_cfg: MaskConfig,
 
 
 def make_train_batch(images_u8, key, mask_cfg: MaskConfig,
-                     progress: float = 1.0, flip: bool = False) -> Batch:
+                     progress: float = 1.0, flip: bool = False,
+                     crop: int = 0) -> Batch:
     """Fuse normalize + mask synthesis + masking into one device program.
 
     ``progress`` in [0, 1] drives the mask curriculum (traced — no
     recompile per step). ``flip`` adds per-sample random horizontal
     flips (train-time augmentation; leave off for eval/bench so metrics
-    stay deterministic).
-    """
+    stay deterministic). ``crop`` > 0 slices a random crop×crop window
+    per sample from larger source images before normalization
+    (``data.random_crop``; the loader supplies the 9/8× source)."""
     return _make_batch_impl(jnp.asarray(images_u8), key, mask_cfg,
-                            jnp.float32(progress), flip)
+                            jnp.float32(progress), flip, crop)

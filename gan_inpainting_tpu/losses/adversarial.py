@@ -36,6 +36,28 @@ def d_loss(real_logits, fake_logits, kind: str = "hinge"):
     raise ValueError(f"unknown adversarial kind {kind!r}")
 
 
+def r1_penalty(score_fn, images):
+    """0.5 · E_batch[ ‖∇_x score(x)‖² ] — the R1 regularizer.
+
+    Mescheder et al. 2018 ("Which training methods for GANs do actually
+    converge?"): penalize the discriminator's gradient on REAL data only.
+    Stabilizes the alternating game (used by StyleGAN-family trainers);
+    optional here via ``loss.r1_gamma`` (the caller multiplies by γ, so
+    the total term is γ/2 · E[‖∇‖²]).
+
+    ``score_fn`` maps an image batch (B, H, W, C) to per-sample logits
+    (any trailing shape). Each sample's logits depend only on that sample
+    (per-image discriminator), so grad-of-sum rows are per-sample
+    gradients. Differentiable — contributing to the D loss makes the
+    update second-order through the D forward, which JAX handles.
+    """
+    imgs = images.astype(jnp.float32)
+    grads = jax.grad(lambda x: jnp.sum(score_fn(x).astype(jnp.float32)))(imgs)
+    grads = grads.astype(jnp.float32)
+    per_sample = jnp.sum(grads * grads, axis=tuple(range(1, grads.ndim)))
+    return 0.5 * jnp.mean(per_sample)
+
+
 def g_loss(fake_logits, kind: str = "hinge"):
     fake = fake_logits.astype(jnp.float32)
     if kind == "hinge":

@@ -31,22 +31,31 @@ class PatchDiscriminator(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image, mask, update_stats: bool = False):
+    def __call__(self, image, mask, update_stats: bool = False,
+                 return_features: bool = False):
+        """Patch logit map; with ``return_features`` also the per-layer
+        activations (for the pix2pixHD-style feature-matching loss,
+        ``loss.feature_match_weight``)."""
         x = jnp.concatenate([image, mask], axis=-1).astype(self.compute_dtype)
         f = self.base_features
         widths = [min(f * (2 ** i), 4 * f) for i in range(self.num_layers)]
+        feats = []
         for i, width in enumerate(widths):
             x = SNConv(features=width, kernel_size=5, stride=2,
                        use_sn=self.spectral_norm,
                        compute_dtype=self.compute_dtype,
                        param_dtype=self.param_dtype,
                        name=f"conv{i}")(x, update_stats=update_stats)
+            feats.append(x)
         logits = SNConv(features=1, kernel_size=5, stride=1,
                         use_sn=self.spectral_norm, activation="none",
                         compute_dtype=self.compute_dtype,
                         param_dtype=self.param_dtype,
                         name="head")(x, update_stats=update_stats)
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        if return_features:
+            return logits, tuple(feats)
+        return logits
 
 
 def build_discriminator(model_cfg) -> PatchDiscriminator:

@@ -98,8 +98,10 @@ def train(cfg: Config, *, resume: bool = True, verbose: bool = True):
             if n_proc > 1:
                 # disjoint mask streams per process (images differ too)
                 mask_key = jax.random.fold_in(mask_key, jax.process_index())
-            batch = make_train_batch(images, mask_key, cfg.mask, progress,
-                                     flip=cfg.data.random_flip)
+            batch = make_train_batch(
+                images, mask_key, cfg.mask, progress,
+                flip=cfg.data.random_flip,
+                crop=cfg.data.image_size if cfg.data.random_crop else 0)
             if n_proc > 1:
                 batch = shard_host_batch(mesh, jax.device_get(batch))
             else:

@@ -29,7 +29,7 @@ from gan_inpainting_tpu.losses.perceptual import (
     init_vgg,
     perceptual_and_style_loss,
 )
-from gan_inpainting_tpu.losses.reconstruction import l1_loss
+from gan_inpainting_tpu.losses.reconstruction import l1_loss, tv_loss
 from gan_inpainting_tpu.models.discriminator import build_discriminator
 from gan_inpainting_tpu.models.generator import build_generator
 from gan_inpainting_tpu.train.state import GANTrainState, make_optimizers
@@ -83,8 +83,20 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
         """G total loss + aux on one (micro-)batch against a frozen D."""
         gen = g_forward(g_params, b)
         comp = composite(gen.fine, b.image, b.mask)
-        logits, _ = d_forward(d_params, d_stats, comp, b.mask,
-                              update_stats=False)
+        use_fm = cfg.loss.feature_match_weight > 0
+        if use_fm:
+            variables = {"params": d_params, "spectral": d_stats}
+            logits, fake_feats = discriminator.apply(
+                variables, comp, b.mask, update_stats=False,
+                return_features=True)
+            # real features are constant w.r.t. g_params — no stop_gradient
+            # needed under the G-side jax.grad
+            _, real_feats = discriminator.apply(
+                variables, b.image, b.mask, update_stats=False,
+                return_features=True)
+        else:
+            logits, _ = d_forward(d_params, d_stats, comp, b.mask,
+                                  update_stats=False)
         adv = adversarial.g_loss(logits, adv_kind)
 
         rec = l1_loss(gen.fine, b.image, b.mask,
@@ -108,6 +120,17 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
                  + cfg.loss.style_weight * style)
         aux = {"g_adv": adv, "g_l1": rec, "g_perceptual": perc,
                "g_style": style}
+        if cfg.loss.tv_weight > 0:
+            tv = tv_loss(comp, b.mask)
+            total = total + cfg.loss.tv_weight * tv
+            aux["g_tv"] = tv
+        if use_fm:
+            fm = sum(jnp.mean(jnp.abs(ff.astype(jnp.float32)
+                                      - rf.astype(jnp.float32)))
+                     for ff, rf in zip(fake_feats, real_feats))
+            fm = fm / len(fake_feats)
+            total = total + cfg.loss.feature_match_weight * fm
+            aux["g_fm"] = fm
         return total, aux
 
     def accum_step(state: GANTrainState, batch: Batch, key):
@@ -147,17 +170,27 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
                                               update_stats=True)
                 real_logits, fake_logits = jnp.split(logits, 2, axis=0)
                 loss = adversarial.d_loss(real_logits, fake_logits, adv_kind)
-                return loss, (new_stats, jnp.mean(real_logits),
-                              jnp.mean(fake_logits))
+                r1 = jnp.asarray(0.0, jnp.float32)
+                if cfg.loss.r1_gamma > 0:
+                    def real_score(imgs):
+                        lg, _ = d_forward(d_params, stats, imgs, mb.mask,
+                                          update_stats=False)
+                        return lg
 
-            (loss, (new_stats, d_real, d_fake)), grads = (
+                    r1 = adversarial.r1_penalty(real_score, mb.image)
+                    loss = loss + cfg.loss.r1_gamma * r1
+                return loss, (new_stats, jnp.mean(real_logits),
+                              jnp.mean(fake_logits), r1)
+
+            (loss, (new_stats, d_real, d_fake, r1)), grads = (
                 jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
             gsum = jax.tree.map(jnp.add, gsum, grads)
-            return (new_stats, gsum), (loss, d_real, d_fake)
+            return (new_stats, gsum), (loss, d_real, d_fake, r1)
 
         zeros_d = jax.tree.map(jnp.zeros_like, state.d_params)
         with jax.named_scope("d_accum"):
-            (new_stats, d_gsum), (d_losses, d_reals, d_fakes) = jax.lax.scan(
+            ((new_stats, d_gsum),
+             (d_losses, d_reals, d_fakes, d_r1s)) = jax.lax.scan(
                 d_scan, (state.d_stats, zeros_d), mbs)
         d_grads = jax.tree.map(lambda g: g / accum, d_gsum)
         d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt,
@@ -203,6 +236,8 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
             "d_fake": jnp.mean(d_fakes),
             **{k: jnp.mean(v) for k, v in g_auxes.items()},
         }
+        if cfg.loss.r1_gamma > 0:
+            metrics["d_r1"] = jnp.mean(d_r1s)
         return new_state, metrics
 
     def step(state: GANTrainState, batch: Batch, key):
@@ -222,10 +257,20 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
                                           masks2, update_stats=True)
             real_logits, fake_logits = jnp.split(logits, 2, axis=0)
             loss = adversarial.d_loss(real_logits, fake_logits, adv_kind)
-            return loss, (new_stats, real_logits, fake_logits)
+            r1 = jnp.asarray(0.0, jnp.float32)
+            if cfg.loss.r1_gamma > 0:
+                def real_score(imgs):
+                    lg, _ = d_forward(d_params, state.d_stats, imgs, mask,
+                                      update_stats=False)
+                    return lg
+
+                r1 = adversarial.r1_penalty(real_score, batch.image)
+                loss = loss + cfg.loss.r1_gamma * r1
+            return loss, (new_stats, real_logits, fake_logits, r1)
 
         with jax.named_scope("d_step"):
-            (d_loss_val, (new_stats, real_logits, fake_logits)), d_grads = (
+            (d_loss_val,
+             (new_stats, real_logits, fake_logits, d_r1)), d_grads = (
                 jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
         d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt,
                                            state.d_params)
@@ -262,6 +307,8 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
             "d_fake": jnp.mean(fake_logits),
             **g_aux,
         }
+        if cfg.loss.r1_gamma > 0:
+            metrics["d_r1"] = d_r1
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()

@@ -55,3 +55,16 @@ def test_train_loop_end_to_end(loop_config):
     # resume: calling train again continues from step 4 (== no-op here)
     state2, _ = train(loop_config, verbose=False)
     assert int(state2.step) == 4
+
+
+def test_train_loop_with_random_crop(loop_config, tmp_path):
+    """data.random_crop end to end: the loader supplies 9/8× sources, the
+    preprocess jit crops, and two steps train finitely (eval uncropped)."""
+    cfg = apply_overrides(loop_config, [
+        "data.random_crop=true",
+        "train.steps=2", "train.eval_every=2", "train.checkpoint_every=2",
+        f"train.workdir={tmp_path}/crop",
+    ])
+    state, metrics = train(cfg, verbose=False)
+    assert int(state.step) == 2
+    assert all(abs(float(v)) < 1e6 for v in metrics.values())

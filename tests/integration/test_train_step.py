@@ -65,6 +65,8 @@ def test_overfit_one_batch_drives_l1_down(tiny_config):
                 "loss.style_weight=1.0", "loss.adversarial=hinge",
                 "loss.spatial_discount=0.9"]),
     ("lsgan", ["loss.adversarial=lsgan"]),
+    ("r1_tv", ["loss.r1_gamma=0.1", "loss.tv_weight=0.1"]),
+    ("feature_match", ["loss.feature_match_weight=10.0"]),
 ])
 def test_variants_take_a_finite_step(tiny_config, name, overrides):
     cfg = apply_overrides(tiny_config, overrides)
@@ -74,6 +76,55 @@ def test_variants_take_a_finite_step(tiny_config, name, overrides):
     for k, v in metrics.items():
         assert bool(jnp.isfinite(v)), (name, k, float(v))
     assert _tree_l2_diff(new_state.g_params, state.g_params) > 0
+
+
+def test_r1_and_tv_metrics_surface(tiny_config):
+    """loss.r1_gamma / loss.tv_weight expose d_r1 / g_tv metrics and both
+    are strictly positive on random data (the R1 grad of a fresh D and
+    the TV of a noisy composite can't be 0). Also exercises the
+    grad_accum variant of the R1 pass."""
+    for extra in ([], ["train.grad_accum=2"]):
+        cfg = apply_overrides(
+            tiny_config, ["loss.r1_gamma=0.1", "loss.tv_weight=0.1"] + extra)
+        state = create_state(cfg, jax.random.key(0))
+        step = make_train_step(cfg, donate=False)
+        _, metrics = step(state, _make_batch(cfg), jax.random.key(1))
+        assert float(metrics["d_r1"]) > 0.0, extra
+        assert float(metrics["g_tv"]) > 0.0, extra
+    # and the keys stay absent when the knobs are off (pinned-metric
+    # fingerprints must not change for existing configs)
+    state = create_state(tiny_config, jax.random.key(0))
+    step = make_train_step(tiny_config, donate=False)
+    _, metrics = step(state, _make_batch(tiny_config), jax.random.key(1))
+    assert "d_r1" not in metrics and "g_tv" not in metrics
+
+
+def test_feature_matching_properties(tiny_config):
+    """D's return_features exposes one map per strided layer (spatial dims
+    halving), identical inputs match exactly (fm term 0), and the g_fm
+    metric surfaces positive in a real step."""
+    import jax.numpy as jnp
+
+    from gan_inpainting_tpu.models.discriminator import build_discriminator
+
+    cfg = apply_overrides(tiny_config, ["loss.feature_match_weight=10.0"])
+    disc = build_discriminator(cfg.model)
+    img = jax.random.uniform(jax.random.key(0),
+                             (2, cfg.data.image_size, cfg.data.image_size, 3),
+                             minval=-1, maxval=1)
+    mask = jnp.zeros((2, cfg.data.image_size, cfg.data.image_size, 1))
+    variables = disc.init(jax.random.key(1), img, mask)
+    _, feats = disc.apply(variables, img, mask, return_features=True)
+    assert len(feats) == cfg.model.disc_layers
+    for i, f in enumerate(feats):
+        assert f.shape[1] == cfg.data.image_size // (2 ** (i + 1)), f.shape
+    _, feats2 = disc.apply(variables, img, mask, return_features=True)
+    assert all(bool(jnp.all(a == b)) for a, b in zip(feats, feats2))
+
+    state = create_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, donate=False)
+    _, metrics = step(state, _make_batch(cfg), jax.random.key(1))
+    assert float(metrics["g_fm"]) > 0.0
 
 
 def test_remat_stages_is_numerically_transparent(tiny_config):

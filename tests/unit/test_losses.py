@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gan_inpainting_tpu.losses.adversarial import d_loss, g_loss
+from gan_inpainting_tpu.losses.adversarial import d_loss, g_loss, r1_penalty
 from gan_inpainting_tpu.losses.perceptual import (
     gram_matrix,
     init_vgg,
@@ -13,6 +13,7 @@ from gan_inpainting_tpu.losses.perceptual import (
 from gan_inpainting_tpu.losses.reconstruction import (
     l1_loss,
     spatial_discount_mask,
+    tv_loss,
 )
 
 
@@ -70,6 +71,47 @@ def test_spatial_discount_center_rect():
     np.testing.assert_allclose(w[4, 4], 0.9, rtol=1e-5)      # corner: d=1
     np.testing.assert_allclose(w[7, 7], 0.9 ** 4, rtol=1e-5)  # center: d=4
     np.testing.assert_allclose(w[4, 7], 0.9, rtol=1e-5)      # edge row
+
+
+def test_tv_loss_closed_form():
+    # linear ramp along W: every horizontal neighbor pair differs by s,
+    # every vertical pair by 0. All-hole mask → region is everything:
+    # tv = s·H·(W-1) / (H·(W-1) + (H-1)·W); H=W=4 → s/2.
+    s = 0.25
+    comp = jnp.broadcast_to(jnp.arange(4.0)[None, None, :, None] * s,
+                            (1, 4, 4, 3))
+    mask = jnp.ones((1, 4, 4, 1))
+    np.testing.assert_allclose(float(tv_loss(comp, mask)), s / 2, rtol=1e-6)
+    # no hole → no counted pairs → exactly 0, whatever the image looks like
+    assert float(tv_loss(comp, jnp.zeros((1, 4, 4, 1)))) == 0.0
+
+
+def test_tv_loss_region_restriction():
+    # single-pixel hole at (2,2) of 6×6, dilation=1 → region = [1..3]².
+    # comp is constant inside that region but has a hard step at column
+    # 4→5, outside the region: the step must not contribute.
+    mask = jnp.zeros((1, 6, 6, 1)).at[0, 2, 2].set(1.0)
+    comp = jnp.zeros((1, 6, 6, 3)).at[:, :, 5:].set(1.0)
+    assert float(tv_loss(comp, mask, dilation=1)) == 0.0
+    # move the step inside the region (column 2→3) and it registers:
+    # 3 horizontal pairs straddle it out of 12 counted pairs → 3/12
+    comp2 = jnp.zeros((1, 6, 6, 3)).at[:, :, 3:].set(1.0)
+    np.testing.assert_allclose(float(tv_loss(comp2, mask, dilation=1)),
+                               3 / 12, rtol=1e-6)
+
+
+def test_r1_penalty_closed_form():
+    # score(x) = a·Σx² per sample → ∇ = 2a·x → ‖∇‖² = 4a²·Σx²
+    # penalty = 0.5·mean_b(4a²·Σx²) = 2a²·mean_b Σx²
+    a = 1.5
+    x = jax.random.normal(jax.random.key(0), (4, 8, 8, 3))
+
+    def score_fn(imgs):
+        return a * jnp.sum(imgs ** 2, axis=(1, 2, 3))
+
+    want = 2 * a * a * float(jnp.mean(jnp.sum(x ** 2, axis=(1, 2, 3))))
+    np.testing.assert_allclose(float(r1_penalty(score_fn, x)), want,
+                               rtol=1e-5)
 
 
 def test_gram_matrix():

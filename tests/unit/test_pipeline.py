@@ -57,3 +57,58 @@ def test_flip_on_flips_some_samples_exactly():
     np.testing.assert_allclose(
         np.asarray(flipped.masked),
         img_f * (1.0 - np.asarray(flipped.mask)), rtol=0, atol=0)
+
+
+def test_crop_zero_matches_legacy_key_derivation():
+    """crop=0 must be bit-exact with the pre-crop pipeline (pins/resume)."""
+    cfg = MaskConfig(kind="freeform")
+    key = jax.random.key(3)
+    a = make_train_batch(_images(), key, cfg)
+    b = make_train_batch(_images(), key, cfg, crop=0)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_random_crop_windows_of_source():
+    """crop>0 yields target-size batches where every sample is an exact
+    contiguous window of its source image, and windows vary per sample."""
+    cfg = MaskConfig(kind="center")
+    src_size, crop = 36, 32
+    # unique per-pixel values so a window match identifies the offset
+    base = (np.arange(src_size * src_size, dtype=np.int64)
+            .reshape(src_size, src_size) % 251).astype(np.uint8)
+    imgs = np.stack([(base + i) % 251 for i in range(8)])
+    imgs = np.repeat(imgs[..., None], 3, axis=-1)
+    batch = make_train_batch(jnp.asarray(imgs), jax.random.key(7), cfg,
+                             crop=crop)
+    assert batch.image.shape == (8, crop, crop, 3)
+    assert batch.mask.shape == (8, crop, crop, 1)
+    from gan_inpainting_tpu.data.pipeline import denormalize
+    out = np.asarray(denormalize(batch.image))
+    offsets = set()
+    for i in range(8):
+        found = None
+        for oy in range(src_size - crop + 1):
+            for ox in range(src_size - crop + 1):
+                if (out[i] == imgs[i, oy:oy + crop, ox:ox + crop]).all():
+                    found = (oy, ox)
+                    break
+            if found:
+                break
+        assert found is not None, f"sample {i} is not a window of its source"
+        offsets.add(found)
+    assert len(offsets) > 1, "all 8 random crops landed identically"
+
+
+def test_source_size_math():
+    from gan_inpainting_tpu.configs.base import DataConfig
+    from gan_inpainting_tpu.data.loader import make_dataset, source_size
+
+    cfg = DataConfig(image_size=128, random_crop=True, batch_size=2,
+                     eval_batch_size=2)
+    assert source_size(cfg, "train") == 144
+    assert source_size(cfg, "eval") == 128
+    assert next(make_dataset(cfg, split="train")).shape == (2, 144, 144, 3)
+    assert next(make_dataset(cfg, split="eval")).shape == (2, 128, 128, 3)
+    off = DataConfig(image_size=128, batch_size=2)
+    assert source_size(off, "train") == 128

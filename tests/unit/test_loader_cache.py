@@ -42,9 +42,9 @@ def test_cache_auto_thresholds():
 def test_cached_batches_match_decoded(image_dir, tmp_path):
     # same seed + 1 decoder thread → identical batch stream either way
     it_raw = _folder_iter(_cfg(image_dir, tmp_path, "off"), seed=3,
-                          batch_size=8, split="train")
+                          batch_size=8, split="train", size=32)
     it_cached = _folder_iter(_cfg(image_dir, tmp_path, "on"), seed=3,
-                             batch_size=8, split="train")
+                             batch_size=8, split="train", size=32)
     for _ in range(6):  # past one epoch (38 train files → 4 batches/epoch)
         a, b = next(it_raw), next(it_cached)
         np.testing.assert_array_equal(a, b)
@@ -53,17 +53,17 @@ def test_cached_batches_match_decoded(image_dir, tmp_path):
 
 def test_cache_reused_and_rebuilt_on_change(image_dir, tmp_path):
     cfg = _cfg(image_dir, tmp_path, "on")
-    next(_folder_iter(cfg, seed=0, batch_size=8, split="train"))
+    next(_folder_iter(cfg, seed=0, batch_size=8, split="train", size=32))
     cache_dir = tmp_path / "cache"
     first = sorted(p.name for p in cache_dir.glob("*.u8"))
     assert len(first) == 1
-    next(_folder_iter(cfg, seed=1, batch_size=8, split="train"))
+    next(_folder_iter(cfg, seed=1, batch_size=8, split="train", size=32))
     assert sorted(p.name for p in cache_dir.glob("*.u8")) == first
     # mutate a TRAIN file (index 1; index-multiple-of-20 files are eval) →
     # new mtime in the manifest → different digest → second cache file
     arr = np.zeros((48, 40, 3), np.uint8)
     Image.fromarray(arr).save(image_dir / "im_001.png")
-    next(_folder_iter(cfg, seed=0, batch_size=8, split="train"))
+    next(_folder_iter(cfg, seed=0, batch_size=8, split="train", size=32))
     assert len(list(cache_dir.glob("*.u8"))) == 2
 
 

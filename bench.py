@@ -9,15 +9,63 @@ BASELINE.md).
 
 BASELINE.json:2's second tracked metric — G+D train steps/sec — rides the
 same JSON line under ``train_*`` keys (the reference default config:
-128² center-mask, the shape BASELINE.json:7 describes).
+128² center-mask, the shape BASELINE.json:7 describes). ``train512_*`` and
+``serve512_*`` track the 512² marquee configs.
+
+Regression guard (VERDICT r3 #6): every run compares its metrics against
+the newest committed ``BENCH_r*.json``; a >3% drop in any tracked metric
+prints a loud REGRESSION line to stderr and lands in the JSON under
+``"regression"``. ``python bench.py --check`` additionally exits nonzero so
+local/CI use fails hard; the bare driver invocation stays exit-0 so the
+driver still records the artifact.
 """
 
 from __future__ import annotations
 
+import glob
 import json
+import os
+import re
 import sys
 
 BASELINE_PER_CHIP = 5000.0 / 8.0
+
+# metrics the regression guard watches (all "higher is better")
+GUARDED_KEYS = ("value", "train_value", "train512_value", "serve512_value")
+REGRESSION_THRESHOLD = 0.03
+
+
+def latest_committed_bench() -> tuple[str, dict] | None:
+    """Newest BENCH_r*.json next to this file → (name, parsed metrics)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = glob.glob(os.path.join(root, "BENCH_r*.json"))
+    if not paths:
+        return None
+    def round_no(p):
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+    path = max(paths, key=round_no)
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    ref = data.get("parsed", data)
+    return os.path.basename(path), (ref if isinstance(ref, dict) else {})
+
+
+def check_regression(out: dict, ref: dict,
+                     threshold: float = REGRESSION_THRESHOLD) -> list[str]:
+    """Messages for every guarded metric that dropped >threshold vs ref."""
+    msgs = []
+    for key in GUARDED_KEYS:
+        new, old = out.get(key), ref.get(key)
+        if (isinstance(new, (int, float)) and isinstance(old, (int, float))
+                and old > 0 and new < old * (1.0 - threshold)):
+            msgs.append(f"REGRESSION {key}: {new:.2f} is "
+                        f"{100 * (1 - new / old):.1f}% below the committed "
+                        f"{old:.2f}")
+    return msgs
 
 
 def main() -> int:
@@ -62,7 +110,29 @@ def main() -> int:
     except Exception as exc:
         out["train512_error"] = f"{type(exc).__name__}: {exc}"
 
+    # fourth tracked metric (VERDICT r3 #6): 512² serve throughput — r2's
+    # 91.9 img/s headline previously had no guard at all
+    s512 = get_config("serve_v4_8")
+    s512 = apply_overrides(s512, [
+        "data.image_size=512", "train.mesh.data=-1", "train.mesh.model=1"])
+    try:
+        sres = bench_infer(s512, batch=32, iters=5, warmup=2)
+        out["serve512_metric"] = "512x512 inpaint images/sec/chip"
+        out["serve512_value"] = round(sres["value"], 2)
+        out["serve512_batch"] = 32
+    except Exception as exc:
+        out["serve512_error"] = f"{type(exc).__name__}: {exc}"
+
+    ref = latest_committed_bench()
+    regressions = check_regression(out, ref[1]) if ref else []
+    if regressions:
+        out["regression"] = regressions
+        for msg in regressions:
+            print(f"{msg} (vs {ref[0]})", file=sys.stderr)
+
     print(json.dumps(out))
+    if "--check" in (sys.argv[1:]):
+        return 1 if regressions else 0
     return 0
 
 

@@ -225,7 +225,10 @@ class EvalConfig:
     # distribution-level GAN quality metric computed over the first
     # swd_max_images eval images (single-process eval only)
     metrics: tuple[str, ...] = ("psnr", "ssim")
-    swd_max_images: int = 64
+    # SWD is a distribution metric — 64 images was too thin a sample to
+    # quote (VERDICT r3 weak #5). 256 matches the eval-PSNR sample size
+    # (num_eval_batches × eval_batch_size in the named configs).
+    swd_max_images: int = 256
 
 
 @dataclasses.dataclass(frozen=True)
@@ -275,6 +278,7 @@ def _celebahq256_freeform() -> Config:
         model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
                           base_features=48, use_attention=False),
         loss=LossConfig(adversarial="hinge", l1_weight=1.0),
+        eval=EvalConfig(metrics=("psnr", "ssim", "swd")),
     )
 
 
@@ -288,6 +292,7 @@ def _places512_deepfill() -> Config:
                           base_features=48, use_attention=True,
                           attention_rate=2),
         loss=LossConfig(adversarial="hinge", l1_weight=1.0),
+        eval=EvalConfig(metrics=("psnr", "ssim", "swd")),
     )
 
 
@@ -304,6 +309,7 @@ def _places512_sn_vgg() -> Config:
                           spectral_norm=True),
         loss=LossConfig(adversarial="hinge", l1_weight=1.0,
                         perceptual_weight=0.05, style_weight=120.0),
+        eval=EvalConfig(metrics=("psnr", "ssim", "swd")),
     )
 
 

@@ -87,7 +87,14 @@ def check_parity(results: dict, pinned_path=PINNED_PATH,
             if want is None:
                 problems.append(f"{name}.{metric}: not pinned")
                 continue
-            tol = tol_db if metric == "psnr" else 0.005
+            if metric == "psnr":
+                tol = tol_db
+            elif metric.startswith("swd"):
+                # SWD values sit in the tens-to-hundreds ×1e3 range; a 2%
+                # relative band is the proportionate analogue of ±0.1 dB
+                tol = max(0.02 * abs(want), 0.1)
+            else:
+                tol = 0.005
             if abs(value - want) > tol:
                 problems.append(
                     f"{name}.{metric}: {value} vs pinned {want} "

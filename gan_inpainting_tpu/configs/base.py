@@ -79,13 +79,17 @@ class DataConfig:
     # per-sample random horizontal flip at train time, fused into the
     # on-device preprocess jit (zero host cost). Eval never flips.
     random_flip: bool = True
-    # per-sample random crop at train time (the genre's standard Places2
-    # treatment: crop a window instead of squashing the whole frame).
-    # The loader decodes/resizes to 9/8×image_size (128→144, 256→288,
-    # 512→576) and the preprocess jit slices a random image_size² window
-    # per sample on device — static shapes, zero extra host work beyond
-    # the slightly larger decode. Eval never crops (center composition,
-    # deterministic metrics).
+    # per-sample random crop at train time (crop a window instead of
+    # squashing the whole frame). The loader decodes/resizes to
+    # 9/8×image_size (128→144, 256→288, 512→576) and the preprocess jit
+    # slices a random image_size² window per sample on device — static
+    # shapes, zero extra host work beyond the slightly larger decode.
+    # Eval never crops (center composition, deterministic metrics).
+    # Fidelity note (ADVICE r3): the 9/8× source is itself a center-square
+    # crop of the frame (static shapes require a square source), so unlike
+    # canonical Places2 random-cropping at native resolution, content
+    # outside the center square — and detail below the 9/8× scale — is
+    # not reachable. The window jitter is ±1/16 of the frame.
     random_crop: bool = False
 
 

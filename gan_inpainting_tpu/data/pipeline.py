@@ -43,7 +43,6 @@ def denormalize(images):
     return jnp.round(x).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 4, 5), donate_argnums=(0,))
 def _make_batch_impl(images_u8, key, mask_cfg: MaskConfig,
                      progress, flip: bool, crop: int) -> Batch:
     b, h, w = images_u8.shape[:3]
@@ -82,6 +81,12 @@ def _make_batch_impl(images_u8, key, mask_cfg: MaskConfig,
     return Batch(image=image, mask=mask, masked=masked)
 
 
+_make_batch_donated = functools.partial(
+    jax.jit, static_argnums=(2, 4, 5), donate_argnums=(0,))(_make_batch_impl)
+_make_batch_plain = functools.partial(
+    jax.jit, static_argnums=(2, 4, 5))(_make_batch_impl)
+
+
 def make_train_batch(images_u8, key, mask_cfg: MaskConfig,
                      progress: float = 1.0, flip: bool = False,
                      crop: int = 0) -> Batch:
@@ -93,5 +98,9 @@ def make_train_batch(images_u8, key, mask_cfg: MaskConfig,
     stay deterministic). ``crop`` > 0 slices a random crop×crop window
     per sample from larger source images before normalization
     (``data.random_crop``; the loader supplies the 9/8× source)."""
-    return _make_batch_impl(jnp.asarray(images_u8), key, mask_cfg,
-                            jnp.float32(progress), flip, crop)
+    # with crop active the uint8 input is larger than every output, so a
+    # donated buffer could never be reused — donating would only emit
+    # XLA's "donated buffers were not usable" warning on every compile
+    impl = _make_batch_plain if crop else _make_batch_donated
+    return impl(jnp.asarray(images_u8), key, mask_cfg,
+                jnp.float32(progress), flip, crop)

@@ -68,8 +68,11 @@ def tv_loss(comp, mask, *, dilation: int = 1):
     family): anisotropic TV of the *composited* image, restricted to pixel
     pairs whose both endpoints lie in the hole region dilated by
     ``dilation`` pixels — it smooths the seam where generated content meets
-    known pixels without blurring the untouched known region. Mean absolute
-    difference per counted pair and channel.
+    known pixels without blurring the untouched known region. Normalized
+    exactly as the paper's eq. 9: both direction sums divided by the
+    element count N_comp of the dilated region (pixels × channels), so
+    ``loss.tv_weight=0.1`` is the paper's own scale (ADVICE r3: the old
+    per-counted-pair mean was ~2× smaller).
 
     Args:
       comp: (B, H, W, C) composited output in [-1, 1]
@@ -91,5 +94,5 @@ def tv_loss(comp, mask, *, dilation: int = 1):
     diff_h = jnp.abs(comp[:, :, 1:, :] - comp[:, :, :-1, :])
     diff_v = jnp.abs(comp[:, 1:, :, :] - comp[:, :-1, :, :])
     num = jnp.sum(pair_h * diff_h) + jnp.sum(pair_v * diff_v)
-    den = (jnp.sum(pair_h) + jnp.sum(pair_v)) * comp.shape[-1] + 1e-8
+    den = jnp.sum(region) * comp.shape[-1] + 1e-8
     return num / den

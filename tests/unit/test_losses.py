@@ -75,14 +75,16 @@ def test_spatial_discount_center_rect():
 
 def test_tv_loss_closed_form():
     # linear ramp along W: every horizontal neighbor pair differs by s,
-    # every vertical pair by 0. All-hole mask → region is everything:
-    # tv = s·H·(W-1) / (H·(W-1) + (H-1)·W); H=W=4 → s/2.
+    # every vertical pair by 0. All-hole mask → region is everything; the
+    # paper's normalization divides by N_comp = H·W elements (× channels,
+    # which cancel): tv = s·H·(W-1)·C / (H·W·C); H=W=4 → 3s/4.
     s = 0.25
     comp = jnp.broadcast_to(jnp.arange(4.0)[None, None, :, None] * s,
                             (1, 4, 4, 3))
     mask = jnp.ones((1, 4, 4, 1))
-    np.testing.assert_allclose(float(tv_loss(comp, mask)), s / 2, rtol=1e-6)
-    # no hole → no counted pairs → exactly 0, whatever the image looks like
+    np.testing.assert_allclose(float(tv_loss(comp, mask)), 3 * s / 4,
+                               rtol=1e-6)
+    # no hole → empty region → exactly 0, whatever the image looks like
     assert float(tv_loss(comp, jnp.zeros((1, 4, 4, 1)))) == 0.0
 
 
@@ -94,10 +96,11 @@ def test_tv_loss_region_restriction():
     comp = jnp.zeros((1, 6, 6, 3)).at[:, :, 5:].set(1.0)
     assert float(tv_loss(comp, mask, dilation=1)) == 0.0
     # move the step inside the region (column 2→3) and it registers:
-    # 3 horizontal pairs straddle it out of 12 counted pairs → 3/12
+    # 3 horizontal pairs straddle it (×3 channels) over N_comp = 9
+    # region pixels ×3 channels → 9/27 = 1/3
     comp2 = jnp.zeros((1, 6, 6, 3)).at[:, :, 3:].set(1.0)
     np.testing.assert_allclose(float(tv_loss(comp2, mask, dilation=1)),
-                               3 / 12, rtol=1e-6)
+                               1 / 3, rtol=1e-6)
 
 
 def test_r1_penalty_closed_form():

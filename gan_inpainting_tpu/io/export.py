@@ -45,12 +45,25 @@ def _unflatten(flat: dict):
     return tree
 
 
-def export_generator(cfg: Config, g_params, path: str) -> None:
-    """Write generator params + config to ``path`` (.npz)."""
+def export_generator(cfg: Config, g_params, path: str,
+                     store_dtype: str | None = None) -> None:
+    """Write generator params + config to ``path`` (.npz).
+
+    ``store_dtype="float16"`` halves the artifact for in-repo pinning
+    (docs/artifacts/): f32 leaves are stored as f16 and cast back to f32 at
+    load, so downstream code sees the usual f32 param tree. The ~5e-4
+    relative weight rounding is below the uint8 output quantization in
+    practice; pinned manifests quote metrics reproduced FROM the artifact,
+    so the stored-precision question never reaches a quoted number.
+    """
     flat = _flatten(g_params)
     bad = [k for k in flat if k == _CONFIG_KEY]
     if bad:
         raise ValueError(f"param path collides with reserved key {bad}")
+    if store_dtype is not None:
+        dt = np.dtype(store_dtype)
+        flat = {k: (v.astype(dt) if v.dtype == np.float32 else v)
+                for k, v in flat.items()}
     payload = {_CONFIG_KEY: np.frombuffer(
         json.dumps(dataclasses.asdict(cfg), default=str).encode(), np.uint8)}
     payload.update(flat)
@@ -59,20 +72,24 @@ def export_generator(cfg: Config, g_params, path: str) -> None:
 
 
 def load_generator(path: str):
-    """Read an exported artifact → ``(cfg, g_params)``."""
+    """Read an exported artifact → ``(cfg, g_params)``. Reduced-precision
+    storage (float16) is widened back to the f32 the models expect."""
     with np.load(path) as data:
         if _CONFIG_KEY not in data:
             raise ValueError(
                 f"{path} is not a gan_inpainting_tpu export (missing config)")
         cfg = config_from_dict(json.loads(bytes(data[_CONFIG_KEY]).decode()))
         params = _unflatten(
-            {k: data[k] for k in data.files if k != _CONFIG_KEY})
+            {k: (data[k].astype(np.float32)
+                 if data[k].dtype == np.float16 else data[k])
+             for k in data.files if k != _CONFIG_KEY})
     return cfg, params
 
 
 def export_from_checkpoint(cfg: Config, path: str,
                            workdir: str | None = None,
-                           use_ema: bool = True, best: bool = False) -> None:
+                           use_ema: bool = True, best: bool = False,
+                           store_dtype: str | None = None) -> None:
     """Export the latest (or best) checkpoint's generator to ``path``.
 
     Raw (template-free) restore: the artifact embeds the checkpoint's OWN
@@ -93,4 +110,5 @@ def export_from_checkpoint(cfg: Config, path: str,
         ema = raw.get("g_ema")
         if ema is not None and jax.tree_util.tree_leaves(ema):
             params = ema
-    export_generator(saved_cfg, jax.device_get(params), path)
+    export_generator(saved_cfg, jax.device_get(params), path,
+                     store_dtype=store_dtype)

@@ -48,6 +48,24 @@ def test_export_round_trip(tiny_config, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_export_f16_storage_round_trip(tiny_config, tmp_path):
+    # in-repo artifact tier (docs/artifacts): f32 leaves stored as f16,
+    # widened back to f32 at load; ≤ f16 rounding error on every leaf
+    state = create_state(tiny_config, jax.random.key(0))
+    p32, p16 = tmp_path / "g32.npz", tmp_path / "g16.npz"
+    params = jax.device_get(state.g_params)
+    export_generator(tiny_config, params, str(p32))
+    export_generator(tiny_config, params, str(p16), store_dtype="float16")
+    assert p16.stat().st_size < 0.6 * p32.stat().st_size
+
+    cfg2, params2 = load_generator(str(p16))
+    assert cfg2 == tiny_config
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        b = np.asarray(b)
+        assert b.dtype == np.asarray(a).dtype  # widened back
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-3, atol=1e-4)
+
+
 def test_from_npz_matches_in_memory_inpainter(tiny_config, tmp_path):
     from gan_inpainting_tpu.infer.inpaint import Inpainter
 

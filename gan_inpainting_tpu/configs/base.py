@@ -163,6 +163,12 @@ class LossConfig:
     # γ/2·E[‖∇_x D(x)‖²] (Mescheder et al. 2018). Adds one extra D
     # forward+backward per step when enabled. 0 = off.
     r1_gamma: float = 0.0
+    # lazy R1 (StyleGAN2 §B): apply the penalty every k-th step with γ
+    # scaled by k — same regularization pressure in expectation, ~1/k of
+    # the extra D forward+backward cost (matters at 512²). 1 = every step
+    # (identical math and state to pre-knob checkpoints). The d_r1 metric
+    # reports 0 on skipped steps.
+    r1_interval: int = 1
     # feature matching (pix2pixHD): mean L1 between D's per-layer
     # activations on the composite vs the real image, averaged over
     # layers. One extra D forward per G step when enabled. 0 = off.

@@ -264,8 +264,21 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
                                       update_stats=False)
                     return lg
 
-                r1 = adversarial.r1_penalty(real_score, batch.image)
-                loss = loss + cfg.loss.r1_gamma * r1
+                k = max(cfg.loss.r1_interval, 1)
+                if k == 1:
+                    r1 = adversarial.r1_penalty(real_score, batch.image)
+                    loss = loss + cfg.loss.r1_gamma * r1
+                else:
+                    # lazy R1: pay the grad-of-grad only on every k-th
+                    # step, with γ·k keeping the expected pressure equal
+                    # (StyleGAN2 lazy regularization). lax.cond executes
+                    # one branch, so skipped steps skip the extra D pass.
+                    r1 = jax.lax.cond(
+                        state.step % k == 0,
+                        lambda: adversarial.r1_penalty(
+                            real_score, batch.image),
+                        lambda: jnp.asarray(0.0, jnp.float32))
+                    loss = loss + (cfg.loss.r1_gamma * k) * r1
             return loss, (new_stats, real_logits, fake_logits, r1)
 
         with jax.named_scope("d_step"):

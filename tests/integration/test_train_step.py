@@ -99,6 +99,36 @@ def test_r1_and_tv_metrics_surface(tiny_config):
     assert "d_r1" not in metrics and "g_tv" not in metrics
 
 
+def test_lazy_r1_applies_on_interval(tiny_config):
+    """loss.r1_interval=k pays the R1 pass only when step % k == 0 (d_r1
+    metric nonzero there, exactly 0 between), and k=1 stays bit-identical
+    to the pre-knob behavior."""
+    cfg = apply_overrides(tiny_config,
+                          ["loss.r1_gamma=0.1", "loss.r1_interval=2"])
+    state = create_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, donate=False)
+    batch = _make_batch(cfg)
+    state, m0 = step(state, batch, jax.random.key(1))     # step 0: applies
+    state, m1 = step(state, batch, jax.random.key(1))     # step 1: skipped
+    _, m2 = step(state, batch, jax.random.key(1))         # step 2: applies
+    assert float(m0["d_r1"]) > 0.0
+    assert float(m1["d_r1"]) == 0.0
+    assert float(m2["d_r1"]) > 0.0
+
+    # k=1 is the exact pre-knob math: same first-step metrics as an
+    # explicit interval=1 config
+    cfg_a = apply_overrides(tiny_config, ["loss.r1_gamma=0.1"])
+    cfg_b = apply_overrides(cfg_a, ["loss.r1_interval=1"])
+    sa = create_state(cfg_a, jax.random.key(0))
+    sb = create_state(cfg_b, jax.random.key(0))
+    _, ma = make_train_step(cfg_a, donate=False)(
+        sa, _make_batch(cfg_a), jax.random.key(1))
+    _, mb = make_train_step(cfg_b, donate=False)(
+        sb, _make_batch(cfg_b), jax.random.key(1))
+    for k in ma:
+        assert float(ma[k]) == float(mb[k]), k
+
+
 def test_feature_matching_properties(tiny_config):
     """D's return_features exposes one map per strided layer (spatial dims
     halving), identical inputs match exactly (fm term 0), and the g_fm

@@ -91,6 +91,9 @@ def main(argv=None) -> int:
     p_srv.add_argument("--port", type=int, default=8763)
     p_srv.add_argument("--max-wait-ms", type=float, default=5.0,
                        help="micro-batcher straggler window")
+    p_srv.add_argument("--max-queue", type=int, default=None,
+                       help="in-flight request bound before 429s "
+                       "(default: 8 device batches)")
     p_srv.add_argument("--best", action="store_true",
                        help="serve the best-PSNR retention checkpoint")
     p_srv.add_argument("--weights", default=None,
@@ -274,7 +277,7 @@ def main(argv=None) -> int:
         else:
             inpainter = Inpainter.from_checkpoint(cfg, best=args.best)
         serve(inpainter, host=args.host, port=args.port,
-              max_wait_ms=args.max_wait_ms)
+              max_wait_ms=args.max_wait_ms, max_queue=args.max_queue)
         return 0
 
     if args.cmd == "bench":

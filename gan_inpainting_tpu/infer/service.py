@@ -292,12 +292,14 @@ def make_http_server(service: InpaintService, host: str = "127.0.0.1",
 
 
 def serve(inpainter: Inpainter, host: str = "127.0.0.1",
-          port: int = 8763, *, max_wait_ms: float = 5.0):
+          port: int = 8763, *, max_wait_ms: float = 5.0,
+          max_queue: int | None = None):
     """Blocking entry point for the ``serve`` CLI subcommand. The caller
     constructs the :class:`Inpainter` (from a checkpoint, the best slot,
     or an exported npz artifact — see the CLI)."""
     cfg = inpainter.cfg
-    service = InpaintService(inpainter, max_wait_ms=max_wait_ms)
+    service = InpaintService(inpainter, max_wait_ms=max_wait_ms,
+                             max_queue=max_queue)
     server = make_http_server(service, host, port)
     print(f"[serve] inpaint service on http://{host}:{port} "
           f"(config {cfg.name}, buckets {cfg.infer.size_buckets})")

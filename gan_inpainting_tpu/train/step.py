@@ -177,8 +177,20 @@ def make_train_step(cfg: Config, *, donate: bool = True) -> Callable:
                                           update_stats=False)
                         return lg
 
-                    r1 = adversarial.r1_penalty(real_score, mb.image)
-                    loss = loss + cfg.loss.r1_gamma * r1
+                    k = max(cfg.loss.r1_interval, 1)
+                    if k == 1:
+                        r1 = adversarial.r1_penalty(real_score, mb.image)
+                        loss = loss + cfg.loss.r1_gamma * r1
+                    else:
+                        # lazy R1 under accumulation: the whole optimizer
+                        # step is regularized or not (state.step is constant
+                        # across microbatches), mirroring the plain path
+                        r1 = jax.lax.cond(
+                            state.step % k == 0,
+                            lambda: adversarial.r1_penalty(
+                                real_score, mb.image),
+                            lambda: jnp.asarray(0.0, jnp.float32))
+                        loss = loss + (cfg.loss.r1_gamma * k) * r1
                 return loss, (new_stats, jnp.mean(real_logits),
                               jnp.mean(fake_logits), r1)
 

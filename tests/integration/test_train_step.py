@@ -129,6 +129,24 @@ def test_lazy_r1_applies_on_interval(tiny_config):
         assert float(ma[k]) == float(mb[k]), k
 
 
+def test_lazy_r1_under_grad_accum(tiny_config):
+    """The grad-accum scan path honors loss.r1_interval the same way the
+    plain path does: the whole optimizer step is regularized on step % k
+    == 0 (d_r1 > 0) and skipped between (d_r1 == 0)."""
+    cfg = apply_overrides(tiny_config,
+                          ["loss.r1_gamma=0.1", "loss.r1_interval=2",
+                           "train.grad_accum=2"])
+    state = create_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, donate=False)
+    batch = _make_batch(cfg)
+    state, m0 = step(state, batch, jax.random.key(1))     # step 0: applies
+    state, m1 = step(state, batch, jax.random.key(1))     # step 1: skipped
+    _, m2 = step(state, batch, jax.random.key(1))         # step 2: applies
+    assert float(m0["d_r1"]) > 0.0
+    assert float(m1["d_r1"]) == 0.0
+    assert float(m2["d_r1"]) > 0.0
+
+
 def test_feature_matching_properties(tiny_config):
     """D's return_features exposes one map per strided layer (spatial dims
     halving), identical inputs match exactly (fm term 0), and the g_fm

@@ -287,7 +287,15 @@ def _celebahq256_freeform() -> Config:
                         min_width=12.0, max_width=40.0, max_step=80.0),
         model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
                           base_features=48, use_attention=False),
-        loss=LossConfig(adversarial="hinge", l1_weight=1.0),
+        # EMA 0.999 + R1 gamma 0.1 are the measured A/B winners (round-4
+        # 12k-step paired runs, same seed/data: stabilized arm ends at its
+        # best eval — 37.59 dB / SWD 13.1, monotone curve — while the
+        # unregularized arm's best-slot stalls at step 1000 (26.5 dB) and
+        # collapses to 24.3 dB / SWD 58.5 by step 10500; SURVEY §8e,
+        # docs/artifacts/qual256_stab). gamma picked by the 3-point sweep
+        # in tools/sweep_r1.sh (0.1 vs 1 vs 10 → 24.1 / 22.9 / 22.8 dB at 2k).
+        loss=LossConfig(adversarial="hinge", l1_weight=1.0, r1_gamma=0.1),
+        train=TrainConfig(g_ema_decay=0.999),
         eval=EvalConfig(metrics=("psnr", "ssim", "swd")),
     )
 

@@ -33,6 +33,20 @@ def test_config_contents_match_baseline():
             and c4.mask.kind == "mixed")
 
 
+def test_quality_recipes_baked():
+    """The named configs must construct the training run the quoted quality
+    evidence was produced with (VERDICT r3 missing #3): EMA 0.999 on the
+    512² configs (SURVEY §8d) and EMA 0.999 + R1 0.1 on celebahq256_freeform
+    (round-4 A/B, SURVEY §8e). A silent revert to 0 reproduces the measured
+    mid-run collapse."""
+    c2 = get_config("celebahq256_freeform")
+    assert c2.train.g_ema_decay == 0.999
+    assert c2.loss.r1_gamma == 0.1
+    assert "swd" in c2.eval.metrics
+    for name in ("places512_deepfill", "places512_sn_vgg"):
+        assert get_config(name).train.g_ema_decay == 0.999
+
+
 def test_overrides():
     cfg = get_config("celeba128_center")
     out = apply_overrides(cfg, ["data.batch_size=3", "loss.l1_weight=2.5",

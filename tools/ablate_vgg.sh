@@ -11,8 +11,11 @@ export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 mkdir -p /root/r4/vgg_ablation
 
 # synthesize the alternate-seed random VGG in the converted-weights format
-python - <<'EOF'
-import jax, numpy as np
+# (on CPU — a deterministic init needs no TPU, and a second tunnel client
+# blocks behind any in-flight TPU process for many minutes)
+timeout 900 python - <<'EOF'
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np
 from gan_inpainting_tpu.losses.perceptual import VGG16Features
 import jax.numpy as jnp
 model = VGG16Features(num_blocks=3)

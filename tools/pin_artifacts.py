@@ -44,18 +44,14 @@ def extract_eval_curve(workdir: pathlib.Path, out_path: pathlib.Path) -> int:
     return len(lines)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--name", required=True)
-    ap.add_argument("--workdir", required=True)
-    ap.add_argument("--config", required=True)
-    ap.add_argument("--overrides", nargs="*", default=[])
-    ap.add_argument("--no-reproduce", action="store_true",
-                    help="skip the eval --weights reproduction (CPU hosts)")
-    args = ap.parse_args()
-
-    workdir = pathlib.Path(args.workdir)
-    out_dir = REPO / "docs" / "artifacts" / args.name
+def pin(name: str, workdir: str, config: str, overrides: list[str],
+        out_root: pathlib.Path | None = None,
+        no_reproduce: bool = False) -> dict:
+    """Pin one run's artifacts; returns the manifest (also written to
+    ``<out_root>/<name>/manifest.json``). ``out_root`` defaults to the
+    in-repo ``docs/artifacts/``; tests point it at a tmpdir."""
+    workdir = pathlib.Path(workdir)
+    out_dir = (out_root or REPO / "docs" / "artifacts") / name
     out_dir.mkdir(parents=True, exist_ok=True)
 
     n = extract_eval_curve(workdir, out_dir / "eval_curve.jsonl")
@@ -64,8 +60,8 @@ def main() -> int:
     from gan_inpainting_tpu.configs.base import apply_overrides, get_config
     from gan_inpainting_tpu.io.export import export_from_checkpoint
 
-    cfg = apply_overrides(get_config(args.config),
-                          [f"train.workdir={workdir}"] + args.overrides)
+    cfg = apply_overrides(get_config(config),
+                          [f"train.workdir={workdir}"] + overrides)
     npz_path = out_dir / "generator_best.npz"
     # f16 storage halves the in-repo artifact; the manifest pins metrics
     # reproduced FROM this artifact, so quoted numbers are exact for it
@@ -79,7 +75,7 @@ def main() -> int:
         if (workdir / "best.json").exists() else {}
 
     reproduced = None
-    if not args.no_reproduce:
+    if not no_reproduce:
         import jax
 
         from gan_inpainting_tpu.infer.inpaint import Inpainter
@@ -92,9 +88,9 @@ def main() -> int:
         print(f"[pin] reproduced via eval --weights: {reproduced}")
 
     manifest = {
-        "name": args.name,
-        "config": args.config,
-        "overrides": args.overrides,
+        "name": name,
+        "config": config,
+        "overrides": overrides,
         "npz_sha256": sha,
         "eval_points": n,
         "best_at_train_time": best_meta,
@@ -103,6 +99,23 @@ def main() -> int:
     (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2)
                                            + "\n")
     print(f"[pin] manifest -> {out_dir / 'manifest.json'}")
+    return manifest
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--name", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--overrides", nargs="*", default=[])
+    ap.add_argument("--out-root", default=None,
+                    help="artifact root (default: in-repo docs/artifacts)")
+    ap.add_argument("--no-reproduce", action="store_true",
+                    help="skip the eval --weights reproduction (CPU hosts)")
+    args = ap.parse_args()
+    pin(args.name, args.workdir, args.config, args.overrides,
+        out_root=pathlib.Path(args.out_root) if args.out_root else None,
+        no_reproduce=args.no_reproduce)
     return 0
 
 

@@ -90,11 +90,21 @@ def _patch_descriptors(level, key, patches_per_image: int, patch_size: int):
     bs = jnp.repeat(jnp.arange(b), patches_per_image)
     del kb
 
+    # Gather patches from a (B, H, W·C) view rather than (B, H, W, C):
+    # vmapped dynamic_slice lowers to a gather, and XLA materializes a
+    # copy of the operand in its preferred gather layout, which pads the
+    # minor-most dim to a 128-lane tile. With C=3 minor that is a 42×
+    # HBM blowup (f32[256,512,512,3] → 32 GiB, OOM on v5e). Flattening
+    # W and C makes the minor dim W·C (already lane-aligned) and the
+    # patch slice stays contiguous: columns [x·C, (x+ps)·C) of row y.
+    flat = level.reshape(b, h, w * c)
+
     def take(bi, yi, xi):
         return jax.lax.dynamic_slice(
-            level, (bi, yi, xi, 0), (1, patch_size, patch_size, c))[0]
+            flat, (bi, yi, xi * c), (1, patch_size, patch_size * c))[0]
 
-    patches = jax.vmap(take)(bs, ys, xs)           # (n, ps, ps, c)
+    patches = jax.vmap(take)(bs, ys, xs)           # (n, ps, ps·c)
+    patches = patches.reshape(n, patch_size, patch_size, c)
     mean = jnp.mean(patches, axis=(0, 1, 2), keepdims=True)
     std = jnp.std(patches, axis=(0, 1, 2), keepdims=True)
     patches = (patches - mean) / jnp.maximum(std, 1e-8)

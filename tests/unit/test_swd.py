@@ -68,6 +68,33 @@ def test_swd_orders_distribution_shift():
     assert blur > 1.4 * near, (near, blur)
 
 
+def test_patch_descriptors_match_naive_4d_slices():
+    """The W·C-flattened gather (the OOM fix for 512² eval — XLA pads the
+    minor dim of a gather operand to 128 lanes, so C=3 minor cost 42× HBM)
+    must extract bit-identical patches to the direct 4-D dynamic_slice."""
+    from gan_inpainting_tpu.metrics.swd import _patch_descriptors
+
+    level = _textured(jax.random.key(11), n=4, size=32)
+    b, h, w, c = level.shape
+    ps, ppi = 7, 16
+    key = jax.random.key(12)
+    got = _patch_descriptors(level, key, ppi, ps)
+
+    # reference: same index stream, plain per-patch 4-D slices
+    ky, kx, _ = jax.random.split(key, 3)
+    n = b * ppi
+    ys = np.asarray(jax.random.randint(ky, (n,), 0, h - ps + 1))
+    xs = np.asarray(jax.random.randint(kx, (n,), 0, w - ps + 1))
+    bs = np.repeat(np.arange(b), ppi)
+    lv = np.asarray(level)
+    patches = np.stack([lv[bi, yi:yi + ps, xi:xi + ps, :]
+                        for bi, yi, xi in zip(bs, ys, xs)])
+    mean = patches.mean(axis=(0, 1, 2), keepdims=True)
+    std = patches.std(axis=(0, 1, 2), keepdims=True)
+    want = ((patches - mean) / np.maximum(std, 1e-8)).reshape(n, -1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
 def test_swd_key_determinism():
     a = _textured(jax.random.key(5))
     b = _textured(jax.random.key(6))

@@ -103,7 +103,13 @@ def main() -> int:
     t512 = get_config("places512_sn_vgg")
     t512 = apply_overrides(t512, ["train.mesh.data=-1", "train.mesh.model=1"])
     try:
-        tres = bench_train(t512, iters=5)
+        # one full lazy-R1 period per timed scan: the config fires R1 every
+        # r1_interval-th step (starting at step 0), so a shorter window
+        # would weight the grad-of-grad step at 1/iters instead of the
+        # true amortized 1/interval
+        t512_iters = max(5, t512.loss.r1_interval if t512.loss.r1_gamma > 0
+                         else 0)
+        tres = bench_train(t512, iters=t512_iters)
         out["train512_metric"] = "512² G+D train steps/sec (places512_sn_vgg)"
         out["train512_value"] = round(tres["value"], 2)
         out["train512_batch"] = tres["batch"]

@@ -309,11 +309,15 @@ def _places512_deepfill() -> Config:
         model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
                           base_features=48, use_attention=True,
                           attention_rate=2),
-        loss=LossConfig(adversarial="hinge", l1_weight=1.0),
-        # EMA 0.999 is the recipe the quoted 512² quality evidence was
-        # produced with (12k-step run, best 33.25 dB @7500 — SURVEY §8d);
-        # previously a CLI override, now the config builds it (VERDICT r3
-        # missing #3)
+        # Lazy R1 (gamma 0.1 every 16th step at 16x, StyleGAN2-style) +
+        # EMA 0.999: the round-4 12k-step rerun of this exact config with
+        # these knobs turned r3's 33.25 dB plateau-then-drift into a
+        # strictly monotone PSNR curve (22.0@500 -> 38.6@8500 and still
+        # climbing) with SWD falling 98.7 -> 14.8, at identical 2.56
+        # steps/s — the grad-of-grad amortizes to noise at interval 16.
+        # SURVEY §8e, docs/artifacts/qual512.
+        loss=LossConfig(adversarial="hinge", l1_weight=1.0,
+                        r1_gamma=0.1, r1_interval=16),
         train=TrainConfig(g_ema_decay=0.999),
         eval=EvalConfig(metrics=("psnr", "ssim", "swd")),
     )
@@ -330,11 +334,13 @@ def _places512_sn_vgg() -> Config:
         model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
                           base_features=48, use_attention=True,
                           spectral_norm=True),
+        # same stabilizer recipe as places512_deepfill: EMA 0.999 + lazy
+        # R1 (the r4 512² rerun evidence — monotone PSNR/SWD curves at
+        # zero throughput cost; SURVEY §8e); r3 shipped this config with
+        # g_ema_decay=0, a known-worse default than the evidence runs
         loss=LossConfig(adversarial="hinge", l1_weight=1.0,
-                        perceptual_weight=0.05, style_weight=120.0),
-        # same EMA recipe as places512_deepfill (VERDICT r3 missing #3:
-        # the marquee config used to build with g_ema_decay=0, a
-        # known-worse default than the evidence runs)
+                        perceptual_weight=0.05, style_weight=120.0,
+                        r1_gamma=0.1, r1_interval=16),
         train=TrainConfig(g_ema_decay=0.999),
         eval=EvalConfig(metrics=("psnr", "ssim", "swd")),
     )

@@ -33,7 +33,17 @@ def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
 
 
 def _filter2(x, window):
-    """Depthwise valid-mode 2-D filter. x: (B, H, W, C)."""
+    """Depthwise valid-mode 2-D filter. x: (B, H, W, C).
+
+    Precision HIGHEST is load-bearing: SSIM's variance uses the
+    cancellation form E[x^2] - mu^2, whose terms are O(|x|^2) ~ 1 while
+    c2 = 0.0036. At TPU default conv precision (bf16 operands) the
+    rounding noise is the same order as c2 in flat windows, and the
+    noise pattern shifts with compilation context — measured 0.90 vs
+    0.96 mean SSIM for the SAME params/images at 512^2 (train-loop vs
+    standalone eval) while PSNR agreed to 3e-4 dB. HIGHEST makes the
+    filters f32-exact; metric cost is negligible.
+    """
     c = x.shape[-1]
     kernel = jnp.asarray(window)[:, :, None, None]
     kernel = jnp.tile(kernel, (1, 1, 1, c))
@@ -41,6 +51,7 @@ def _filter2(x, window):
         x, kernel, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
 
 

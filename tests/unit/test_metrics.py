@@ -39,6 +39,23 @@ def test_ssim_matches_tensorflow():
     np.testing.assert_allclose(ours, theirs, atol=2e-3)
 
 
+def test_ssim_filters_request_highest_precision():
+    """TPU numerics guard (metrics/image.py _filter2 docstring): SSIM's
+    E[x^2]-mu^2 cancellation needs f32-exact filters. At default TPU conv
+    precision the SAME inputs measured 0.90 vs 0.96 mean SSIM depending on
+    compilation context. The value bug is invisible on CPU (convs are
+    exact there), so pin the traced precision request instead."""
+    a = jnp.zeros((1, 16, 16, 1))
+    jaxpr = jax.make_jaxpr(lambda x, y: ssim(x, y))(a, a)
+    convs = [eq for eq in jaxpr.jaxpr.eqns
+             if eq.primitive.name == "conv_general_dilated"]
+    assert convs, "ssim no longer lowers to conv_general_dilated?"
+    for eq in convs:
+        prec = eq.params["precision"]
+        assert prec is not None and "HIGHEST" in str(prec), (
+            f"ssim filter conv precision regressed to {prec!r}")
+
+
 def test_ssim_orders_degradations():
     x = jax.random.uniform(jax.random.key(3), (1, 48, 48, 3))
     slightly = jnp.clip(x + 0.02, 0, 1)

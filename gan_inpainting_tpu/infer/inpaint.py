@@ -36,7 +36,7 @@ def _bucket(value: int, buckets) -> int:
                      f"configure a larger bucket in InferConfig")
 
 
-def make_forward_fn(cfg: Config):
+def make_forward_fn(cfg: Config, backend: str | None = None):
     """The pure serve forward: ``(g_params, images_u8, masks) → uint8``.
 
     normalize → generator → composite on the raw uint8 input (known pixels
@@ -44,7 +44,7 @@ def make_forward_fn(cfg: Config):
     wraps it in a mesh-sharded jit) and the AOT exporter (io/aot.py, plain
     jit serialized via jax.export).
     """
-    gen = build_generator(cfg.model)
+    gen = build_generator(cfg.model, backend=backend)
 
     def fwd(g_params, images_u8, masks):
         image = normalize(images_u8)
@@ -111,18 +111,32 @@ class Inpainter:
         return cls(cfg, params, mesh=mesh)
 
     # ------------------------------------------------------------------
+    @property
+    def _n_spatial(self) -> int:
+        return dict(self.mesh.shape).get("spatial", 1)
+
     def _build_forward(self, batch: int, size: int):
         """One compiled program per (batch, size) bucket."""
-        fwd = make_forward_fn(self.cfg)
-        sharding = batch_sharding(self.mesh)
+        # Spatial partitioning shards image ROWS over the mesh's spatial
+        # axis; GSPMD inserts the conv halo exchanges. The Pallas attention
+        # kernel is a per-device program XLA cannot auto-partition across a
+        # row-sharded operand, so spatial meshes pin the XLA attention path
+        # (blockwise-equivalent math, equivalence-tested) for the whole
+        # generator.
+        spatial = self._n_spatial > 1
+        fwd = make_forward_fn(self.cfg, backend="xla" if spatial else None)
+        from gan_inpainting_tpu.parallel.sharding import DEFAULT_RULES
+
+        spec = (DEFAULT_RULES.spatial_batch if spatial
+                else DEFAULT_RULES.batch)
+        sharding = batch_sharding(self.mesh, spec)
         # donating the input image buffer lets XLA reuse it for the
         # (same-shape, same-dtype) uint8 output — one less HBM allocation
         # per request at the largest bucket
         donate = (1,) if self.cfg.infer.donate_input else ()
         return jax.jit(
             fwd,
-            in_shardings=(replicated(self.mesh), sharding,
-                          batch_sharding(self.mesh)),
+            in_shardings=(replicated(self.mesh), sharding, sharding),
             out_shardings=sharding,
             donate_argnums=donate,
         )

@@ -1,6 +1,6 @@
 """Device-mesh construction.
 
-The framework always runs over a 2-D logical mesh ``(data, model)``:
+The framework always runs over a 3-D logical mesh ``(data, model, spatial)``:
 
 * ``data`` — data parallelism: the batch dimension of every array is sharded
   over it; XLA emits the gradient all-reduce over ICI inside the jitted train
@@ -10,8 +10,17 @@ The framework always runs over a 2-D logical mesh ``(data, model)``:
   Defaults to size 1; SURVEY.md §2b documents that model scale does not need
   TP, but the axis exists so enabling it is a config change, not an API
   change.
+* ``spatial`` — spatial partitioning: image/activation ROWS (the NHWC H dim)
+  are sharded over it and GSPMD inserts the halo exchanges every conv window
+  needs at shard boundaries. This is the scale-out story for a SINGLE large
+  request: data parallelism cannot split a batch-1 2048² image, row sharding
+  can — each chip holds 1/spatial of every activation, which is also what
+  bounds the largest servable image (the dense attention score matrix at
+  2048² is ~17 GB — over a single chip's HBM, 1/8th of it per chip on a
+  spatial=8 mesh). Defaults to size 1 (a no-op: the sharding specs name the
+  axis but shard nothing over a size-1 axis).
 
-Single-device runs use the same code path with a 1×1 mesh — there is no
+Single-device runs use the same code path with a 1×1×1 mesh — there is no
 separate "local" implementation, which keeps the distributed path permanently
 exercised by every unit test.
 """
@@ -27,7 +36,8 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
-AXIS_NAMES = (DATA_AXIS, MODEL_AXIS)
+SPATIAL_AXIS = "spatial"
+AXIS_NAMES = (DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,30 +46,35 @@ class MeshConfig:
 
     data: int = -1
     model: int = 1
+    spatial: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int]:
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
         model = self.model
+        spatial = self.spatial
         data = self.data
         if data == -1:
-            if n_devices % model:
+            if n_devices % (model * spatial):
                 raise ValueError(
-                    f"n_devices={n_devices} not divisible by model={model}")
-            data = n_devices // model
-        if data * model > n_devices:
+                    f"n_devices={n_devices} not divisible by "
+                    f"model*spatial={model * spatial}")
+            data = n_devices // (model * spatial)
+        if data * model * spatial > n_devices:
             raise ValueError(
-                f"mesh {data}x{model} needs more than the {n_devices} "
-                f"available devices")
-        return data, model
+                f"mesh {data}x{model}x{spatial} needs more than the "
+                f"{n_devices} available devices")
+        return data, model, spatial
 
 
 def build_mesh(config: MeshConfig = MeshConfig(),
                devices: Sequence[jax.Device] | None = None) -> Mesh:
-    """Build the (data, model) mesh over the given (default: all) devices."""
+    """Build the (data, model, spatial) mesh over the given (default: all)
+    devices."""
     if devices is None:
         devices = jax.devices()
-    data, model = config.resolve(len(devices))
+    data, model, spatial = config.resolve(len(devices))
     # an explicit smaller mesh uses a prefix of the devices
-    dev_array = np.asarray(devices[:data * model]).reshape(data, model)
+    dev_array = np.asarray(devices[:data * model * spatial]).reshape(
+        data, model, spatial)
     return Mesh(dev_array, AXIS_NAMES)
 
 

@@ -2,8 +2,10 @@
 
 All arrays in this framework are NHWC. The standard layouts:
 
-* batches / activations: ``P('data', None, None, 'model')`` — batch over the
-  data axis, channels over the model axis (TP seam; no-op when model=1).
+* batches / activations: ``P('data', 'spatial', None, 'model')`` — batch over
+  the data axis, rows (H) over the spatial axis (halo-exchange convs via
+  GSPMD; no-op when spatial=1), channels over the model axis (TP seam;
+  no-op when model=1).
 * conv kernels ``(kh, kw, cin, cout)``: ``P(None, None, None, 'model')`` —
   output channels sharded over the model axis so each model shard owns a
   channel slice; XLA/GSPMD inserts the all-gathers/reduce-scatters the conv
@@ -23,7 +25,11 @@ import dataclasses
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gan_inpainting_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from gan_inpainting_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    SPATIAL_AXIS,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,7 +37,10 @@ class ShardingRules:
     """Named PartitionSpecs for the framework's array roles."""
 
     batch: P = P(DATA_AXIS, None, None, None)
-    activation: P = P(DATA_AXIS, None, None, MODEL_AXIS)
+    # NHWC images/activations under spatial partitioning: rows over the
+    # spatial axis. Identical to `batch` on a spatial=1 mesh.
+    spatial_batch: P = P(DATA_AXIS, SPATIAL_AXIS, None, None)
+    activation: P = P(DATA_AXIS, SPATIAL_AXIS, None, MODEL_AXIS)
     conv_kernel: P = P(None, None, None, MODEL_AXIS)
     replicated: P = P()
 
@@ -51,14 +60,21 @@ def shard_batch(mesh: Mesh, tree):
     """Place a pytree of host arrays onto the mesh, batch-sharded over data.
 
     Arrays with >=1 dim get their leading dim sharded over 'data'; scalars
-    are replicated.
+    are replicated. On a mesh with a spatial axis >1, NHWC arrays whose H
+    divides it additionally get their rows sharded over 'spatial' (spatial
+    partitioning — GSPMD threads the row sharding through the model and
+    inserts conv halo exchanges).
     """
+    n_spatial = dict(mesh.shape).get(SPATIAL_AXIS, 1)
 
     def put(x):
         x = jax.numpy.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, replicated(mesh))
-        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        if x.ndim == 4 and n_spatial > 1 and x.shape[1] % n_spatial == 0:
+            spec = P(DATA_AXIS, SPATIAL_AXIS, None, None)
+        else:
+            spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, tree)

@@ -34,15 +34,22 @@ def _run_steps(cfg, mesh, n=2):
 
 def test_mesh_construction(eight_devices):
     mesh = build_mesh(MeshConfig(data=-1, model=2), devices=eight_devices)
-    assert mesh.devices.shape == (4, 2)
-    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (4, 2, 1)
+    assert mesh.axis_names == ("data", "model", "spatial")
     # smaller-than-available explicit mesh takes a device prefix
     small = build_mesh(MeshConfig(data=3, model=2), devices=eight_devices)
-    assert small.devices.shape == (3, 2)
+    assert small.devices.shape == (3, 2, 1)
+    # the spatial axis participates in the device-count budget
+    sp = build_mesh(MeshConfig(data=-1, model=2, spatial=2),
+                    devices=eight_devices)
+    assert sp.devices.shape == (2, 2, 2)
     with pytest.raises(ValueError):
         build_mesh(MeshConfig(data=5, model=2), devices=eight_devices)
     with pytest.raises(ValueError):  # -1 with non-dividing model
         build_mesh(MeshConfig(data=-1, model=3), devices=eight_devices)
+    with pytest.raises(ValueError):  # -1 with non-dividing model*spatial
+        build_mesh(MeshConfig(data=-1, model=2, spatial=3),
+                   devices=eight_devices)
 
 
 def test_data_parallel_matches_single_device(tiny_config, eight_devices):

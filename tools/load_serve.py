@@ -98,6 +98,10 @@ def main() -> int:
                     help="requests per client (default: 256/clients, min 4)")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--buckets", default="1,8,64",
+                    help="batch buckets (r4's sweep showed the 16-client "
+                    "dip is bucket geometry: groups of 16 pad 4x into the "
+                    "64 bucket; pass 1,8,16,32,64 to measure the fix)")
     args = ap.parse_args()
 
     import jax
@@ -111,7 +115,7 @@ def main() -> int:
     cfg = get_config("serve_v4_8")
     cfg = apply_overrides(cfg, [
         f"data.image_size={size}", "train.mesh.data=-1",
-        "train.mesh.model=1", "infer.batch_buckets=1,8,64",
+        "train.mesh.model=1", f"infer.batch_buckets={args.buckets}",
         f"infer.size_buckets={size}"])
     state = create_state(cfg, jax.random.key(0))
     inpainter = Inpainter(cfg, state.g_params)

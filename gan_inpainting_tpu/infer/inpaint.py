@@ -118,13 +118,13 @@ class Inpainter:
     def _build_forward(self, batch: int, size: int):
         """One compiled program per (batch, size) bucket."""
         # Spatial partitioning shards image ROWS over the mesh's spatial
-        # axis; GSPMD inserts the conv halo exchanges. The Pallas attention
-        # kernel is a per-device program XLA cannot auto-partition across a
-        # row-sharded operand, so spatial meshes pin the XLA attention path
-        # (blockwise-equivalent math, equivalence-tested) for the whole
-        # generator.
+        # axis; GSPMD inserts the conv halo exchanges. Contextual attention
+        # is spatial-aware on its own: on a spatial>1 mesh the Pallas path
+        # goes through an explicit shard_map (gathered keys, local query
+        # rows — ops/contextual_attention.py _spatial_attention) and the
+        # XLA path stays under GSPMD, so no backend pin is needed here.
         spatial = self._n_spatial > 1
-        fwd = make_forward_fn(self.cfg, backend="xla" if spatial else None)
+        fwd = make_forward_fn(self.cfg)
         from gan_inpainting_tpu.parallel.sharding import DEFAULT_RULES
 
         spec = (DEFAULT_RULES.spatial_batch if spatial

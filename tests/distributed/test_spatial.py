@@ -154,3 +154,170 @@ def test_spatial_shard_batch_specs(tiny_config, eight_devices):
     assert tuple(out["odd_h"].sharding.spec) == ("data", None, None, None)
     assert tuple(out["vec"].sharding.spec) == ("data", None)
     assert out["scalar"].sharding.spec == ()
+
+
+# ---------------------------------------------------------------------------
+# shard_map'd Pallas attention path (spatial>1 + backend=pallas).
+#
+# GSPMD cannot auto-partition a Pallas call over a row-sharded operand, so
+# on spatial meshes the kernel path goes through an explicit fully-manual
+# shard_map (gathered keys, local query rows, row reduce-scatter —
+# ops/contextual_attention.py _spatial_attention). The Pallas kernel itself
+# cannot execute on CPU (TPU-interpret mode's io_callback deadlocks under
+# manual shard_map), so these tests validate the shard_map MACHINERY with
+# the XLA inner kernel — the Pallas/XLA inner equivalence is already pinned
+# in tests/kernels/test_patch_attention.py, and the compiled shard_map+
+# Mosaic lowering is exercised on real TPU by tools/probe_spatial_pallas.py.
+# ---------------------------------------------------------------------------
+
+import importlib
+
+import jax.numpy as jnp
+import pytest
+
+# the ops package re-exports the contextual_attention FUNCTION under the
+# submodule's name, so attribute-style module import resolves to it —
+# importlib gets the module itself
+_ca_mod = importlib.import_module(
+    "gan_inpainting_tpu.ops.contextual_attention")
+_pa_mod = importlib.import_module(
+    "gan_inpainting_tpu.ops.pallas.patch_attention")
+
+
+def _attn_case(seed=0, shape=(2, 32, 24, 8)):
+    rng = np.random.default_rng(seed)
+    f = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    mask = jnp.asarray(
+        (rng.random(shape[:3] + (1,)) < 0.3).astype(np.float32))
+    return f, mask
+
+
+@pytest.mark.parametrize("axes", [(1, 1, 8), (2, 1, 4), (2, 2, 2)])
+def test_spatial_shardmap_attention_parity(eight_devices, axes):
+    """_spatial_attention (XLA inner) is bit-exact vs the 1-device dense
+    path on pure-spatial, mixed data, and mixed data+model meshes — the
+    gather/local-Q/fold/reduce-scatter structure changes nothing."""
+    f, mask = _attn_case()
+    ref = _ca_mod.contextual_attention(f, f, mask, ksize=3, rate=2,
+                                       backend="xla")
+    mesh = build_mesh(MeshConfig(data=axes[0], model=axes[1],
+                                 spatial=axes[2]), devices=eight_devices)
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda f, m: _ca_mod._spatial_attention(
+            f, f, m, ksize=3, rate=2, softmax_scale=10.0,
+            backend="xla", n_sp=axes[2]))(f, mask)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_spatial_dispatch_engages_shardmap(eight_devices, monkeypatch):
+    """contextual_attention(backend='pallas') on a spatial mesh routes
+    through the shard_map path and calls the kernel with LOCAL query rows
+    and GLOBAL keys (kernel stood in by the XLA reference on CPU)."""
+    f, mask = _attn_case()
+    calls = []
+
+    def standin(q, k, key_valid, v, *, softmax_scale, **kw):
+        calls.append((q.shape, k.shape))
+        return _ca_mod._patch_attention_xla(q, k, key_valid, v,
+                                            softmax_scale)
+
+    monkeypatch.setattr(_pa_mod, "patch_attention_pallas", standin)
+    ref = _ca_mod.contextual_attention(f, f, mask, ksize=3, rate=2,
+                                       backend="xla")
+    mesh = build_mesh(MeshConfig(data=1, model=1, spatial=8),
+                      devices=eight_devices)
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda f, m: _ca_mod.contextual_attention(
+            f, f, m, ksize=3, rate=2, backend="pallas"))(f, mask)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+    assert calls, "shard_map path did not engage the kernel"
+    (qs, ks) = calls[0]
+    lk = (32 // 2) * (24 // 2)
+    assert ks[1] == lk               # keys are global
+    assert qs[1] == lk // 8          # queries are the local row block
+
+
+def test_spatial_dispatch_fallback_indivisible(eight_devices, monkeypatch):
+    """Shapes whose query-row grid does not divide the spatial axis fall
+    back to the GSPMD XLA dense path (still correct, never the kernel)."""
+    f, mask = _attn_case(shape=(2, 36, 24, 8))  # hs=18, 18 % 8 != 0
+    called = []
+    monkeypatch.setattr(
+        _pa_mod, "patch_attention_pallas",
+        lambda *a, **k: called.append(1) or (_ for _ in ()).throw(
+            AssertionError("kernel must not be called")))
+    ref = _ca_mod.contextual_attention(f, f, mask, ksize=3, rate=2,
+                                       backend="xla")
+    mesh = build_mesh(MeshConfig(data=1, model=1, spatial=8),
+                      devices=eight_devices)
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda f, m: _ca_mod.contextual_attention(
+            f, f, m, ksize=3, rate=2, backend="pallas"))(f, mask)
+    assert not called
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_spatial_shardmap_attention_grad(eight_devices):
+    """Gradients flow through the shard_map path (all_gather/psum_scatter
+    transposes) and match the 1-device dense path — the property the train
+    step relies on when spatial>1 meshes train with the kernel backend."""
+    f, mask = _attn_case(shape=(1, 16, 16, 4))
+
+    def loss_ref(x):
+        y = _ca_mod.contextual_attention(x, x, mask, ksize=3, rate=2,
+                                         backend="xla")
+        return jnp.sum(y * y)
+
+    g_ref = jax.grad(loss_ref)(f)
+
+    mesh = build_mesh(MeshConfig(data=1, model=1, spatial=8),
+                      devices=eight_devices)
+
+    def loss_sp(x):
+        y = _ca_mod._spatial_attention(x, x, mask, ksize=3, rate=2,
+                                       softmax_scale=10.0, backend="xla",
+                                       n_sp=8)
+        return jnp.sum(y * y)
+
+    with jax.set_mesh(mesh):
+        g_sp = jax.jit(jax.grad(loss_sp))(f)
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_spatial_serve_shardmap_generator(tiny_config, eight_devices,
+                                          monkeypatch):
+    """Full Inpainter serve on a spatial mesh with the TPU dispatch table
+    (attention→pallas via monkeypatched device kind, convs stay XLA): the
+    shard_map attention embeds in the whole bucketed serve program and
+    reproduces the 1-device output. Known pixels stay bit-exact."""
+    from gan_inpainting_tpu.ops import dispatch as _dispatch
+
+    cfg = apply_overrides(tiny_config, [
+        "model.generator=coarse_to_fine",
+        "model.conv_kind=gated",
+        "model.use_attention=true",
+        "infer.batch_buckets=2",
+        "infer.size_buckets=32",
+    ])
+    state = create_state(cfg, jax.random.key(0))
+    imgs, masks = _request(2, 32)
+
+    mesh1 = build_mesh(MeshConfig(data=1, model=1),
+                       devices=eight_devices[:1])
+    out1 = _serve(cfg, mesh1, state, imgs, masks)
+
+    monkeypatch.setattr(_dispatch, "_default_device_kind", lambda: "tpu")
+    monkeypatch.setattr(
+        _pa_mod, "patch_attention_pallas",
+        lambda q, k, key_valid, v, *, softmax_scale, **kw:
+        _ca_mod._patch_attention_xla(q, k, key_valid, v, softmax_scale))
+    sp8 = build_mesh(MeshConfig(data=1, model=1, spatial=8),
+                     devices=eight_devices)
+    out8 = _serve(cfg, sp8, state, imgs, masks)
+    # f32 end to end; the only reassociation is the boundary-row
+    # reduce-scatter, which cannot move a uint8 by more than 1
+    diff = np.abs(out1.astype(np.int16) - out8.astype(np.int16))
+    assert diff.max() <= 1
+    assert np.array_equal(out8[masks == 0], imgs[masks == 0])

@@ -66,6 +66,15 @@ class DataConfig:
     # and the parity harness override this down for speed
     num_eval_batches: int = 16
     synthetic_size: int = 512     # virtual dataset length for synthetic
+    # procedural family for dataset=synthetic (data/synthetic.py):
+    # "blobs" — smooth gradients + soft blobs + one rectangle (the family
+    # every pre-r5 pinned number trained on); "textured" — multi-octave
+    # value noise mixing two global high-frequency stripe/checker fields
+    # plus hard-edged texture-filled shapes. Built for the attention
+    # quality ablation (VERDICT r4 #3): blobs are nearly
+    # conv-interpolatable, so only globally-coherent copyable texture can
+    # show whether the contextual-attention branch buys quality.
+    synthetic_family: str = "blobs"   # blobs | textured
     loader_threads: int = 2       # decoder threads for dataset=folder
     prefetch_batches: int = 4     # decoded-batch prefetch queue depth
     # decode-once uint8 memmap cache for dataset=folder. Small-resolution
@@ -355,7 +364,14 @@ def _serve_v4_8() -> Config:
                           base_features=48, use_attention=True,
                           fuse_upsample=True),
         train=TrainConfig(mesh=MeshConfig(data=-1, model=1)),
-        infer=InferConfig(batch_buckets=(8, 64, 256),
+        # Bucket geometry is measured, not guessed (SURVEY §8e): with only
+        # (8, 64, 256), 16 concurrent clients pad 4x into the 64-bucket —
+        # adding 16/32 buckets doubled their throughput (15.0 -> 27.5 img/s)
+        # and cut p99 1154 -> 694 ms on TPU (tools/load_serve.py), while the
+        # >=64-client regime measured identical under both geometries. Cost:
+        # each extra bucket is one more warmup/AOT compile (a few minutes,
+        # once) and nothing after.
+        infer=InferConfig(batch_buckets=(1, 8, 16, 32, 64, 256),
                           size_buckets=(256, 512)),
     )
 

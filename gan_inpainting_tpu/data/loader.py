@@ -58,7 +58,7 @@ def _synthetic_iter(cfg: DataConfig, seed: int, batch_size: int,
     step = 0
     while True:
         k = jax.random.fold_in(key, step % batches_per_epoch)
-        yield synthetic_batch_u8(k, batch_size, size)
+        yield synthetic_batch_u8(k, batch_size, size, cfg.synthetic_family)
         step += 1
 
 

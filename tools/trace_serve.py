@@ -18,7 +18,8 @@ import os
 import sys
 
 
-def capture(batch: int, outdir: str, iters: int = 6) -> None:
+def capture(batch: int, outdir: str, iters: int = 6,
+            size: int | None = None) -> None:
     import functools
 
     import jax
@@ -33,7 +34,10 @@ def capture(batch: int, outdir: str, iters: int = 6) -> None:
     from gan_inpainting_tpu.train.state import create_state
 
     cfg = get_config("serve_v4_8")
-    cfg = apply_overrides(cfg, ["train.mesh.data=-1", "train.mesh.model=1"])
+    overrides = ["train.mesh.data=-1", "train.mesh.model=1"]
+    if size is not None:
+        overrides.append(f"data.image_size={size}")
+    cfg = apply_overrides(cfg, overrides)
     size = cfg.data.image_size
     mesh = build_mesh(cfg.train.mesh)
     state = create_state(cfg, jax.random.key(0))
@@ -118,8 +122,9 @@ def analyze(outdir: str, top: int = 40) -> None:
 def main() -> int:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/trace_serve"
+    size = int(sys.argv[3]) if len(sys.argv) > 3 else None  # e.g. 512
     if os.environ.get("TRACE_ANALYZE_ONLY") != "1":
-        capture(batch, outdir)
+        capture(batch, outdir, size=size)
     analyze(outdir)
     return 0
 

@@ -28,9 +28,16 @@ metrics serially and printed once at the very end. This version:
   outer ``timeout`` fires (``timeout 60 python bench.py`` leaves at least
   the probe line);
 * points children at a persistent JAX compilation cache
-  (``.jax_compile_cache/``, disable with ``BENCH_COMPILE_CACHE=0``) so a
-  repeat driver run skips the big compiles; per-metric wall seconds are
-  recorded (``<name>_s``) so a cache hit is visible in the artifact.
+  (``.jax_compile_cache/``, disable with ``BENCH_COMPILE_CACHE=0``); per-
+  metric wall seconds are recorded (``<name>_s``) so cache behavior is
+  visible in the artifact. MEASURED (r5, this box, two back-to-back full
+  runs): the cache WRITES entries (85 MB after one run) but gives no
+  RELIABLE repeat speedup — infer256_s 653.8 -> 777.7 and train128_s
+  374.8 -> 600+ (slower), while serve512/train512 dropped 600+/681 ->
+  350/379; axon worker-health variance dominates whatever the cache
+  contributes, and remote-helper compiles are not clearly short-circuited
+  by local cache hits. Kept on: harmless here, correct on real local-TPU
+  hosts.
 
 Regression guard (VERDICT r3 #6): the final line compares its metrics
 against the newest committed ``BENCH_r*.json`` THAT PARSED (a null/failed
@@ -64,9 +71,9 @@ REGRESSION_THRESHOLD = 0.03
 # class on this box) goes last.
 METRICS = (
     ("infer256", "value", 900),
-    ("train128", "train_value", 600),
-    ("serve512", "serve512_value", 600),
-    ("train512", "train512_value", 900),
+    ("train128", "train_value", 900),
+    ("serve512", "serve512_value", 1200),
+    ("train512", "train512_value", 1200),
 )
 CHILD_TAG = "BENCH_CHILD "
 

@@ -166,15 +166,21 @@ def run_child_metric(name: str) -> dict:
 
     if name == "serve512":
         # 512² serve throughput (VERDICT r3 #6: r2's 91.9 img/s headline
-        # previously had no guard at all)
+        # previously had no guard at all). Operating point follows the r5
+        # 512² sweep (tools/sweep_serve512.py, SURVEY §8f): batch 64 beats
+        # 32 (97.8 vs 91.5 img/s) and the fused-upsample decoder LOSES at
+        # this size (the serving path now unfuses >256² via
+        # infer.fuse_upsample_max_size — this measures what it ships);
+        # combined 101.1 img/s vs the old point's 91.4.
         cfg = get_config("serve_v4_8")
         cfg = apply_overrides(cfg, ["data.image_size=512",
+                                    "model.fuse_upsample=false",
                                     "train.mesh.data=-1",
                                     "train.mesh.model=1"])
-        r = bench_infer(cfg, batch=32, iters=5, warmup=2)
+        r = bench_infer(cfg, batch=64, iters=5, warmup=2)
         return {"serve512_metric": "512x512 inpaint images/sec/chip",
                 "serve512_value": round(r["value"], 2),
-                "serve512_batch": 32}
+                "serve512_batch": 64}
 
     raise ValueError(f"unknown bench metric {name!r}")
 

@@ -255,6 +255,12 @@ class InferConfig:
     batch_buckets: tuple[int, ...] = (1, 8, 64)    # static batch buckets
     size_buckets: tuple[int, ...] = (128, 256, 512)  # static HxW buckets
     donate_input: bool = True
+    # The fused-upsample decoder (exact math, 4/9 the MACs) WINS at 256²
+    # serve (+? was the r2 adoption) but LOSES at 512²: 91.5 vs 96.9 img/s
+    # b32 (r5 sweep, tools/sweep_serve512.py — the parity conv's gather
+    # traffic scales with H·W and overtakes the MAC saving). Serving flips
+    # it off per size bucket above this threshold; same params either way.
+    fuse_upsample_max_size: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

@@ -115,6 +115,21 @@ class Inpainter:
     def _n_spatial(self) -> int:
         return dict(self.mesh.shape).get("spatial", 1)
 
+    def _cfg_for_size(self, size: int) -> Config:
+        """Size-dependent model formulation: the fused-upsample decoder is
+        exact-math parameter-compatible, and MEASURED faster at ≤256² but
+        slower at 512² (r5 sweep: 91.5 fused vs 96.9 unfused img/s b32 —
+        SURVEY §8f), so big buckets unfuse. Same weights either way."""
+        import dataclasses
+
+        cfg = self.cfg
+        if (cfg.model.fuse_upsample
+                and size > cfg.infer.fuse_upsample_max_size):
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model,
+                                               fuse_upsample=False))
+        return cfg
+
     def _build_forward(self, batch: int, size: int):
         """One compiled program per (batch, size) bucket."""
         # Spatial partitioning shards image ROWS over the mesh's spatial
@@ -124,7 +139,7 @@ class Inpainter:
         # rows — ops/contextual_attention.py _spatial_attention) and the
         # XLA path stays under GSPMD, so no backend pin is needed here.
         spatial = self._n_spatial > 1
-        fwd = make_forward_fn(self.cfg)
+        fwd = make_forward_fn(self._cfg_for_size(size))
         from gan_inpainting_tpu.parallel.sharding import DEFAULT_RULES
 
         spec = (DEFAULT_RULES.spatial_batch if spatial

@@ -92,3 +92,29 @@ def test_non_square_inputs_pad_and_crop(inpainter):
     out_p = inpainter(img_p, mask_p)
     assert out_p.shape == img_p.shape
     np.testing.assert_array_equal(out_p[mask_p == 0], img_p[mask_p == 0])
+
+
+def test_fuse_upsample_unfused_above_size_threshold(tiny_config):
+    """Serving flips the fused-upsample decoder OFF per size bucket above
+    infer.fuse_upsample_max_size (measured: fused wins at 256², loses at
+    512² — SURVEY §8f / tools/sweep_serve512.py). The formulation is
+    exact-math parameter-compatible, so outputs must agree between an
+    always-unfused Inpainter and the size-dependent one at the big bucket."""
+    cfg = apply_overrides(tiny_config, [
+        "infer.batch_buckets=1,4", "infer.size_buckets=32,64",
+        "model.fuse_upsample=true", "infer.fuse_upsample_max_size=32"])
+    state = create_state(cfg, jax.random.key(0))
+    inp = Inpainter(cfg, state.g_params)
+
+    assert inp._cfg_for_size(32).model.fuse_upsample is True
+    assert inp._cfg_for_size(64).model.fuse_upsample is False
+
+    img = _image(11, size=64)
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    out = inp(img, mask)
+
+    cfg_unfused = apply_overrides(cfg, ["model.fuse_upsample=false"])
+    ref = Inpainter(cfg_unfused, state.g_params)(img, mask)
+    # identical formulation at this bucket → identical uint8 output
+    np.testing.assert_array_equal(out, ref)

@@ -19,7 +19,8 @@ import sys
 
 
 def capture(batch: int, outdir: str, iters: int = 6,
-            size: int | None = None) -> None:
+            size: int | None = None,
+            extra_overrides: list[str] | None = None) -> None:
     import functools
 
     import jax
@@ -37,7 +38,7 @@ def capture(batch: int, outdir: str, iters: int = 6,
     overrides = ["train.mesh.data=-1", "train.mesh.model=1"]
     if size is not None:
         overrides.append(f"data.image_size={size}")
-    cfg = apply_overrides(cfg, overrides)
+    cfg = apply_overrides(cfg, overrides + list(extra_overrides or []))
     size = cfg.data.image_size
     mesh = build_mesh(cfg.train.mesh)
     state = create_state(cfg, jax.random.key(0))
@@ -123,8 +124,9 @@ def main() -> int:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/trace_serve"
     size = int(sys.argv[3]) if len(sys.argv) > 3 else None  # e.g. 512
+    extra = [a for a in sys.argv[4:] if "=" in a]  # config overrides k=v
     if os.environ.get("TRACE_ANALYZE_ONLY") != "1":
-        capture(batch, outdir, size=size)
+        capture(batch, outdir, size=size, extra_overrides=extra)
     analyze(outdir)
     return 0
 

@@ -74,6 +74,11 @@ METRICS = (
     ("train128", "train_value", 900),
     ("serve512", "serve512_value", 1200),
     ("train512", "train512_value", 1200),
+    # opt-in: serve1024 is guard-trackABLE but disabled by default (budget
+    # 0) so the driver's wall budget stays owned by the four core metrics;
+    # enable with BENCH_SERVE1024_BUDGET_S=1500. Reference numbers (r5
+    # probe, tools/probe_serve1024.py): 15.74 img/s b8, 4.1 GB temp.
+    ("serve1024", "serve1024_value", 0),
 )
 CHILD_TAG = "BENCH_CHILD "
 
@@ -181,6 +186,22 @@ def run_child_metric(name: str) -> dict:
         return {"serve512_metric": "512x512 inpaint images/sec/chip",
                 "serve512_value": round(r["value"], 2),
                 "serve512_batch": 64}
+
+    if name == "serve1024":
+        # single-chip 1024² bucket (r5 stretch): flash-attention regime,
+        # 65,536 stage-2 tokens; fits one v5e with ~4x HBM headroom
+        cfg = get_config("serve_v4_8")
+        # unfused decoder to match shipped serving >256²
+        # (infer.fuse_upsample_max_size); the r5 probe's 15.74 was the
+        # FUSED formulation — expect ≥ that here per the 512² trend
+        cfg = apply_overrides(cfg, ["data.image_size=1024",
+                                    "model.fuse_upsample=false",
+                                    "train.mesh.data=-1",
+                                    "train.mesh.model=1"])
+        r = bench_infer(cfg, batch=8, iters=5, warmup=2)
+        return {"serve1024_metric": "1024x1024 inpaint images/sec/chip",
+                "serve1024_value": round(r["value"], 2),
+                "serve1024_batch": 8}
 
     raise ValueError(f"unknown bench metric {name!r}")
 

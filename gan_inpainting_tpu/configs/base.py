@@ -300,6 +300,11 @@ def _celebahq256_freeform() -> Config:
         data=DataConfig(image_size=256, batch_size=16),
         mask=MaskConfig(kind="freeform", max_strokes=8, max_segments=8,
                         min_width=12.0, max_width=40.0, max_step=80.0),
+        # use_attention=False kept for pin stability on the blobs family,
+        # where smooth content is conv-interpolatable. On texture-rich data
+        # flip it on: the r5 matched A/B on data.synthetic_family=textured
+        # measured +2.83 dB / +0.059 SSIM / SWD halved for attention at a
+        # 28% step-time cost (SURVEY §8f, docs/artifacts/tex256_attn).
         model=ModelConfig(generator="coarse_to_fine", conv_kind="gated",
                           base_features=48, use_attention=False),
         # EMA 0.999 + R1 gamma 0.1 are the measured A/B winners (round-4
